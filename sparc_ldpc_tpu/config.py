@@ -1,0 +1,241 @@
+"""Typed, hashable configuration objects for the SPARC/LDPC framework.
+
+Design contract: SURVEY.md §2 (component 1) and Appendix A.1.  All configs are
+frozen dataclasses so they can be passed as `static_argnums` to `jax.jit` and
+used as dict keys for compilation caches.  Everything derivable (code length
+``n``, bits per section, total rate bits) is exposed as cached properties that
+are pure functions of the config.
+
+Conventions (SURVEY.md App. A.1):
+  - L sections, M columns per section (M a power of two), rate R in
+    bits/channel-use, total power P, noise variance sigma2.
+  - code length  n = L * log2(M) / R   (rounded to nearest int).
+  - Eb/N0 = P / (2 * R * sigma2)  for the real AWGN channel (N0 = 2 sigma2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+def _is_pow2(x: int) -> bool:
+    return x > 0 and (x & (x - 1)) == 0
+
+
+@dataclass(frozen=True)
+class SparcConfig:
+    """Static description of a SPARC codebook (SURVEY.md App. A.1/A.3).
+
+    Attributes:
+      L: number of sections.
+      M: columns per section (power of two); log2(M) bits are carried per
+        section.
+      R: rate in bits per (real) channel use.  The *overall* user rate when an
+        LDPC outer code is concatenated is R * ldpc_rate over protected bits.
+      P: total average codeword power, E||x||^2 / n == P.
+      power_alloc: one of "flat", "exp", "modified", "iterative"
+        (SURVEY.md App. A.2).
+      pa_a, pa_f: parameters of the modified-exponential allocation
+        P_l ∝ 2^{-2 a C l / L} for l <= f L, constant after.  Ignored for
+        other allocations. ``None`` means "numerically optimized at build
+        time" for the "modified" kind.
+      op_kind: measurement operator family: "dense" (explicit Gaussian,
+        oracle/small-L only), "hadamard" (matrix-free partial Walsh-Hadamard)
+        or "dct" (matrix-free subsampled DCT).  SURVEY.md App. A.3.
+      op_seed: host-side seed fixing the operator's random row subset.  Part
+        of the code definition: oracle and TPU paths derive identical
+        operators from it.
+      col_signs: optionally pre-multiply columns by a seeded Rademacher
+        diagonal (extra randomization; off by default to follow the
+        pyfht-lineage construction, SURVEY.md §2 #9).
+      amp_iters: max AMP iterations T.
+      amp_tol: early-stop threshold eps: stop when |tau2_t - tau2_{t-1}|
+        < eps * tau2_t (SURVEY.md App. A.5).
+      tau_mode: "online" (tau2_t = ||z_t||^2 / n) or "se" (precomputed
+        state-evolution schedule).
+    """
+
+    L: int = 256
+    M: int = 512
+    R: float = 1.0
+    P: float = 1.0
+    power_alloc: str = "flat"
+    pa_a: Optional[float] = None
+    pa_f: Optional[float] = None
+    op_kind: str = "hadamard"
+    op_seed: int = 0
+    col_signs: bool = False
+    amp_iters: int = 32
+    amp_tol: float = 1e-6
+    tau_mode: str = "online"
+
+    def __post_init__(self):
+        if not _is_pow2(self.M):
+            raise ValueError(f"M must be a power of two, got {self.M}")
+        if self.power_alloc not in ("flat", "exp", "modified", "iterative"):
+            raise ValueError(f"unknown power_alloc {self.power_alloc!r}")
+        if self.op_kind not in ("dense", "hadamard", "dct"):
+            raise ValueError(f"unknown op_kind {self.op_kind!r}")
+        if self.tau_mode not in ("online", "se"):
+            raise ValueError(f"unknown tau_mode {self.tau_mode!r}")
+
+    @property
+    def logM(self) -> int:
+        return self.M.bit_length() - 1
+
+    @property
+    def k_bits(self) -> int:
+        """Total message bits per codeword (before any outer-code reduction)."""
+        return self.L * self.logM
+
+    @property
+    def n(self) -> int:
+        """Real channel uses per codeword: n = L log2(M) / R."""
+        return int(round(self.L * self.logM / self.R))
+
+    @property
+    def ML(self) -> int:
+        return self.L * self.M
+
+    def sigma2(self, ebno_db: float) -> float:
+        """Noise variance at a given Eb/N0 (dB): sigma2 = P/(2 R_eff EbN0).
+
+        Uses the *actual* rate k_bits/n (equal to R up to the rounding of n).
+        """
+        ebno = 10.0 ** (ebno_db / 10.0)
+        rate = self.k_bits / self.n
+        return self.P / (2.0 * rate * ebno)
+
+    def ebno_db(self, sigma2: float) -> float:
+        rate = self.k_bits / self.n
+        return 10.0 * math.log10(self.P / (2.0 * rate * sigma2))
+
+    @property
+    def snr_capacity(self) -> Tuple[float, float]:
+        """(snr, Shannon capacity in bits/use) at sigma2 == P/snr ... helper."""
+        # capacity for snr = P/sigma2 is computed by callers per sigma2; this
+        # property intentionally returns placeholders for introspection only.
+        return (float("nan"), float("nan"))
+
+    def replace(self, **kw) -> "SparcConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class LdpcConfig:
+    """Outer LDPC code configuration (SURVEY.md §2 #16-19, App. A.6).
+
+    The reference's exact code identity is unverifiable (SURVEY.md §0), so the
+    code is pluggable: either a named built-in construction or an alist file.
+
+    Attributes:
+      kind: "array" (deterministic array/QC-LDPC: H[j,l] = circulant shift
+        j*l mod Z, Z prime), "regular" (seeded PEG-like (dv,dc)-regular), or
+        "alist" (load from path).
+      z: circulant size for "array" (prime).
+      rows_b, cols_b: base-matrix dimensions for "array" (J x K circulant
+        blocks -> (J*Z, K*Z) binary H).
+      dv, dc: variable/check degrees for "regular".
+      n_bits: code length for "regular".
+      seed: construction seed for "regular".
+      path: alist path for "alist".
+      decoder: "minsum" (normalized min-sum) or "spa" (sum-product).
+      alpha: min-sum normalization factor (App. A.6; 0.8-0.9 typical).
+      bp_iters: max flooding iterations.
+      llr_clip: LLR clipping bound for f32 stability.
+    """
+
+    kind: str = "array"
+    z: int = 31
+    rows_b: int = 4
+    cols_b: int = 24
+    dv: int = 3
+    dc: int = 6
+    n_bits: int = 1296
+    seed: int = 0
+    path: Optional[str] = None
+    decoder: str = "minsum"
+    alpha: float = 0.8125
+    bp_iters: int = 64
+    llr_clip: float = 20.0
+
+    def __post_init__(self):
+        if self.kind not in ("array", "regular", "alist"):
+            raise ValueError(f"unknown ldpc kind {self.kind!r}")
+        if self.decoder not in ("minsum", "spa"):
+            raise ValueError(f"unknown decoder {self.decoder!r}")
+
+    def replace(self, **kw) -> "LdpcConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class ConcatConfig:
+    """SPARC+LDPC concatenation (SURVEY.md App. A.7).
+
+    Sections are partitioned: the first (1-f_prot)*L are unprotected, the
+    last f_prot*L carry LDPC codeword bits.  After BP hardening, a
+    decision-feedback AMP pass re-runs with protected sections pinned.
+    """
+
+    sparc: SparcConfig = SparcConfig()
+    ldpc: LdpcConfig = LdpcConfig()
+    f_prot: float = 0.5
+    feedback_iters: int = 8
+
+    def replace(self, **kw) -> "ConcatConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class CampaignConfig:
+    """Monte-Carlo BER/FER campaign (SURVEY.md App. A.8, §3.5).
+
+    Attributes:
+      ebno_grid_db: Eb/N0 sweep points in dB.
+      batch: codewords per trial block (sharded over the 'data' mesh axis).
+      min_frame_errors: stop a point once this many frame errors observed.
+      max_trials: hard trial cap per point.
+      base_seed: root of the fold_in key tree
+        (base, point, host, block) — SURVEY.md §7 hard-part 5.
+      data_axis/section_axis: mesh axis names.
+      section_shards: how many ways to shard the section axis (1 = pure DP).
+    """
+
+    ebno_grid_db: Tuple[float, ...] = (1.5, 2.0, 2.5, 3.0)
+    batch: int = 64
+    min_frame_errors: int = 100
+    max_trials: int = 100_000
+    base_seed: int = 1234
+    data_axis: str = "data"
+    section_axis: str = "section"
+    section_shards: int = 1
+
+    def replace(self, **kw) -> "CampaignConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# The five judged configurations from BASELINE.json:7-11 (see BASELINE.md).
+PRESETS = {
+    # 1. plain SPARC, AMP, L=256 M=512, flat power, Eb/N0=2dB (CPU-size)
+    "plain_small": SparcConfig(L=256, M=512, R=1.0, power_alloc="flat",
+                               op_kind="hadamard"),
+    # 2. power-allocated SPARC L=1024, SE-derived allocation
+    "pa_l1024": SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
+                            op_kind="hadamard"),
+    # 3. fast-transform SPARC, L=4096 (matrix-free operator stress config)
+    "fast_l4096": SparcConfig(L=4096, M=512, R=1.5, power_alloc="iterative",
+                              op_kind="hadamard"),
+    # 4. concatenated SPARC+LDPC (see ConcatConfig defaults)
+    "concat": ConcatConfig(
+        sparc=SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
+                          op_kind="hadamard"),
+        ldpc=LdpcConfig(kind="array", z=31, rows_b=4, cols_b=24),
+        f_prot=0.5,
+    ),
+    # 5. multi-host campaign over an Eb/N0 grid
+    "campaign": CampaignConfig(),
+}

@@ -1,0 +1,23 @@
+"""Test harness config (SURVEY.md §4.4).
+
+Forces the CPU backend with 8 virtual devices BEFORE jax import, so
+mesh/sharding/psum tests run in plain pytest on any machine.  Real-TPU
+execution is exercised by bench.py and __graft_entry__.py, not the unit
+suite (the axon TPU plugin is experimental; CI must not depend on it).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
