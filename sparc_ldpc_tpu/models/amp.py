@@ -1,0 +1,112 @@
+"""AMP decode loop — THE hot loop (SURVEY.md §3.2, App. A.5).
+
+Per iteration: two transform matvecs + one sectionwise softmax, with the
+Onsager correction and online tau tracking:
+
+    z_t   = y - A beta_t + (z_{t-1}/tau2_{t-1}) (P - ||beta_t||^2 / n)
+    tau2_t = ||z_t||^2 / n                      (or an SE schedule)
+    s_t   = beta_t + A^T z_t
+    beta_{t+1} = eta(s_t; tau2_t)               (ops.denoiser)
+
+TPU-first structure:
+  - `lax.scan` over a static iteration count T (XLA traces the body once);
+  - per-codeword early stop is a *mask*, not control flow (SURVEY.md §7
+    hard-part 4): once |tau2_t - tau2_{t-1}| < tol*tau2_t the state is
+    frozen, so trajectories match the oracle's `break` semantics exactly;
+  - the reductions ||beta||^2 and ||z||^2 are plain sums — under a section-
+    sharded NamedSharding, GSPMD turns them into the psum the design calls
+    for (SURVEY.md §2 #14-15) with no hand-written collectives;
+  - decision-feedback pinning (App. A.7 step 5) is a denoiser override mask,
+    reused by the concatenated pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.denoiser import denoise, denoise_pallas
+from ..ops.operators import BatchedOperator
+
+
+class AmpResult(NamedTuple):
+    s: jax.Array            # (B, L, M) final test statistic
+    posteriors: jax.Array   # (B, L, M) final section posteriors
+    tau2_trace: jax.Array   # (T, B)
+    iters: jax.Array        # (B,) iterations actually used
+
+
+def amp_decode(
+    y: jax.Array,                 # (B, n)
+    op: BatchedOperator,
+    sq_npl: jax.Array,            # (L,) sqrt(n P_l)
+    P: float,
+    n: int,
+    T: int,
+    tol: float = 1e-6,
+    tau2_schedule: Optional[jax.Array] = None,   # (T,) SE schedule
+    pinned_onehot: Optional[jax.Array] = None,   # (B, L, M) one-hot targets
+    pinned_mask: Optional[jax.Array] = None,     # (B, L) bool
+    use_pallas_denoiser: bool = False,
+) -> AmpResult:
+    B = y.shape[0]
+    L = sq_npl.shape[0]
+    ML = op.ML
+    M = ML // L
+    dn = denoise_pallas if use_pallas_denoiser else denoise
+
+    def apply_pin(beta3, post):
+        if pinned_mask is None:
+            return beta3, post
+        m = pinned_mask[:, :, None]
+        post = jnp.where(m, pinned_onehot, post)
+        beta3 = jnp.where(m, sq_npl[None, :, None] * pinned_onehot, beta3)
+        return beta3, post
+
+    def step(state, t):
+        beta, z, tau2_prev, done, iters, s, post = state
+        bnorm2 = jnp.sum(beta * beta, axis=-1)                  # (B,)
+        coef = (P - bnorm2 / n) / tau2_prev                     # 0 at t=0 (inf)
+        z_new = y - op.Ax(beta) + z * coef[:, None]
+        if tau2_schedule is None:
+            tau2 = jnp.sum(z_new * z_new, axis=-1) / n          # (B,)
+        else:
+            tau2 = jnp.full((B,), tau2_schedule[t], dtype=y.dtype)
+        s_new = (beta + op.Ay(z_new)).reshape(B, L, M)
+        beta3, post_new = dn(s_new, tau2, sq_npl)
+        beta3, post_new = apply_pin(beta3, post_new)
+        conv = jnp.abs(tau2 - tau2_prev) < tol * tau2
+        # freeze codewords that were already done before this iteration
+        keep = done
+        k1, k3 = keep[:, None], keep[:, None, None]
+        out = (
+            jnp.where(k1, beta, beta3.reshape(B, ML)),
+            jnp.where(k1, z, z_new),
+            jnp.where(keep, tau2_prev, tau2),
+            keep | conv,
+            iters + jnp.where(keep, 0, 1).astype(iters.dtype),
+            jnp.where(k3, s, s_new),
+            jnp.where(k3, post, post_new),
+        )
+        return out, jnp.where(keep, tau2_prev, tau2)
+
+    beta0 = jnp.zeros((B, ML), dtype=y.dtype)
+    z0 = jnp.zeros_like(y)
+    tau20 = jnp.full((B,), jnp.inf, dtype=y.dtype)
+    done0 = jnp.zeros((B,), dtype=bool)
+    it0 = jnp.zeros((B,), dtype=jnp.int32)
+    s0 = jnp.zeros((B, L, M), dtype=y.dtype)
+    post0 = jnp.full((B, L, M), 1.0 / M, dtype=y.dtype)
+
+    state, trace = jax.lax.scan(
+        step, (beta0, z0, tau20, done0, it0, s0, post0),
+        jnp.arange(T))
+    _, _, _, _, iters, s, post = state
+    return AmpResult(s=s, posteriors=post, tau2_trace=trace, iters=iters)
+
+
+def hard_indices(s: jax.Array) -> jax.Array:
+    """argmax per section: (B, L, M) -> (B, L) (App. A.5 hard decision)."""
+    return jnp.argmax(s, axis=-1).astype(jnp.int32)

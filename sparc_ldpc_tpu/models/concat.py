@@ -1,0 +1,197 @@
+"""Concatenated SPARC + LDPC pipeline (SURVEY.md §3.3, App. A.7).
+
+Section partition: the first Lu sections are unprotected; the last Lp carry
+LDPC codeword bits (num_cw codewords back to back).  Lp is derived from the
+requested protected fraction so that num_cw * ldpc.n is a whole number of
+sections (num_cw * n ≡ 0 mod logM) — sections stay shard-aligned with the
+LDPC partition (SURVEY.md §3.3 boundary note).
+
+Decode chain:
+  1. full AMP -> final scores a = sqrt(nP_l) s / tau2 (log-posteriors up to
+     a constant);
+  2. bitwise LLRs over protected sections by masked logsumexp directly on
+     the scores (more stable in f32 than exp-then-log of posteriors);
+  3. flooding BP (ops.bp);
+  4. harden -> protected section indices;
+  5. decision feedback: re-run AMP with protected sections *pinned* to
+     their hardened one-hots in the denoiser (soft-output pass);
+  6. final argmax for unprotected sections from the feedback pass.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConcatConfig
+from ..utils import rng as rngu
+from ..utils.bits import bits_to_indices, indices_to_bits
+from .amp import hard_indices
+from .ldpc import LdpcModel
+from .sparc import SparcModel
+
+
+def _derive_partition(L: int, logM: int, ldpc_n: int, f_prot: float
+                      ) -> Tuple[int, int, int]:
+    """(Lu, Lp, num_cw) with num_cw*ldpc_n == Lp*logM exactly."""
+    target_bits = int(round(f_prot * L)) * logM
+    num_cw = target_bits // ldpc_n
+    while num_cw > 0 and (num_cw * ldpc_n) % logM != 0:
+        num_cw -= 1
+    if num_cw == 0:
+        raise ValueError(
+            f"cannot fit an LDPC codeword (n={ldpc_n}) into "
+            f"{target_bits} protected bits with logM={logM}")
+    Lp = (num_cw * ldpc_n) // logM
+    return L - Lp, Lp, num_cw
+
+
+@dataclass(frozen=True)
+class ConcatModel:
+    """SPARC inner code + LDPC outer code at one operating point."""
+    cfg: ConcatConfig
+    sparc: SparcModel
+    ldpc: LdpcModel
+    Lu: int                  # unprotected sections
+    Lp: int                  # protected sections
+    num_cw: int              # LDPC codewords per SPARC frame
+    bit_masks: jax.Array     # (logM, M) bool: bit b of index j is 1
+
+    @staticmethod
+    def build(cfg: ConcatConfig, ebno_db: float,
+              use_pallas: bool = False) -> "ConcatModel":
+        sparc = SparcModel.build(cfg.sparc, ebno_db, use_pallas=use_pallas)
+        ldpc = LdpcModel.build(cfg.ldpc)
+        Lu, Lp, num_cw = _derive_partition(
+            cfg.sparc.L, cfg.sparc.logM, ldpc.n, cfg.f_prot)
+        M, logM = cfg.sparc.M, cfg.sparc.logM
+        j = np.arange(M)
+        masks = np.stack([(j >> (logM - 1 - b)) & 1 for b in range(logM)])
+        return ConcatModel(cfg=cfg, sparc=sparc, ldpc=ldpc, Lu=Lu, Lp=Lp,
+                           num_cw=num_cw,
+                           bit_masks=jnp.asarray(masks.astype(bool)))
+
+    @property
+    def k_user(self) -> int:
+        """User payload bits per frame (unprotected + LDPC messages)."""
+        return self.Lu * self.cfg.sparc.logM + self.num_cw * self.ldpc.k
+
+    @property
+    def overall_rate(self) -> float:
+        return self.k_user / self.sparc.cfg.n
+
+    # ------------------------------------------------------------- encode
+
+    def encode(self, user_bits: jax.Array) -> jax.Array:
+        """(B, k_user) -> (B, n) channel codewords."""
+        B = user_bits.shape[0]
+        logM = self.cfg.sparc.logM
+        nu = self.Lu * logM
+        unprot = user_bits[:, :nu]
+        msgs = user_bits[:, nu:].reshape(B * self.num_cw, self.ldpc.k)
+        cw = self.ldpc.encode(msgs).reshape(B, self.num_cw * self.ldpc.n)
+        all_bits = jnp.concatenate([unprot, cw], axis=1)
+        idx = bits_to_indices(all_bits, logM)
+        return self.sparc.op.Ax(self.sparc.build_beta(idx))
+
+    # ------------------------------------------------------------- decode
+
+    def _protected_llrs(self, s: jax.Array, tau2: jax.Array) -> jax.Array:
+        """Scores -> bitwise LLRs for protected sections.
+
+        a_{l,j} = sqrt(n P_l) s_{l,j} / tau2 are unnormalized log-posteriors;
+        llr_b = lse_{j: bit_b(j)=0} a_j  -  lse_{j: bit_b(j)=1} a_j.
+        Returns (B, Lp*logM).
+        """
+        B = s.shape[0]
+        sq = self.sparc.sq_npl[self.Lu:]
+        a = sq[None, :, None] * s[:, self.Lu:, :] / tau2[:, None, None]
+        a = a[:, :, None, :]                                  # (B,Lp,1,M)
+        mask1 = self.bit_masks[None, None]                    # (1,1,logM,M)
+        neg = jnp.finfo(a.dtype).min
+        lse0 = jax.nn.logsumexp(jnp.where(mask1, neg, a), axis=-1)
+        lse1 = jax.nn.logsumexp(jnp.where(mask1, a, neg), axis=-1)
+        return (lse0 - lse1).reshape(B, self.Lp * self.cfg.sparc.logM)
+
+    def decode(self, y: jax.Array) -> Dict[str, jax.Array]:
+        """Full concatenated decode; returns user bits + diagnostics."""
+        B = y.shape[0]
+        scfg = self.cfg.sparc
+        logM, M, L = scfg.logM, scfg.M, scfg.L
+
+        # (1) inner AMP
+        res = self.sparc.decode(y)
+        tau2_final = res.tau2_trace[-1]
+
+        # (2)-(3) LLRs -> BP
+        llr = self._protected_llrs(res.s, tau2_final)
+        llr = llr.reshape(B * self.num_cw, self.ldpc.n)
+        bp = self.ldpc.decode(llr)
+        # BP that fails the syndrome check can be *worse* than the channel
+        # (min-sum diverges on garbage LLRs); fall back to the channel hard
+        # decision per codeword in that case.
+        chan_hard = (llr < 0).astype(jnp.uint8)
+        cw_bits = jnp.where(bp.ok[:, None], bp.hard, chan_hard)
+        cw_hat = cw_bits.reshape(B, self.num_cw * self.ldpc.n)
+
+        # (4) hardened protected indices
+        prot_idx = bits_to_indices(cw_hat, logM)              # (B, Lp)
+
+        # (5) decision-feedback AMP with protected sections pinned.
+        # Only sections whose bits all come from syndrome-verified codewords
+        # are pinned: pinning a wrongly-decoded codeword poisons the AMP
+        # re-pass (observed: 27% vs 8% unprotected BER), while gating on
+        # bp.ok makes failed frames fall back to plain-AMP quality and
+        # decoded frames typically become error-free.
+        bit_ok = jnp.repeat(bp.ok.reshape(B, self.num_cw), self.ldpc.n,
+                            axis=1)                           # (B, Lp*logM)
+        sec_ok = jnp.all(bit_ok.reshape(B, self.Lp, logM), axis=-1)
+        pin_mask = jnp.concatenate(
+            [jnp.zeros((B, self.Lu), bool), sec_ok], axis=1)
+        full_idx = jnp.concatenate(
+            [jnp.zeros((B, self.Lu), jnp.int32), prot_idx], axis=1)
+        pin_onehot = jax.nn.one_hot(full_idx, M, dtype=y.dtype)
+        res2 = self.sparc.decode(
+            y, T=self.cfg.feedback_iters,
+            pinned_onehot=pin_onehot, pinned_mask=pin_mask)
+
+        # (6) final decisions
+        unprot_idx = hard_indices(res2.s)[:, : self.Lu]
+        unprot_bits = indices_to_bits(unprot_idx, logM)
+        msg_bits = self.ldpc.extract_message(
+            cw_hat.reshape(B * self.num_cw, self.ldpc.n)
+        ).reshape(B, self.num_cw * self.ldpc.k)
+        user_hat = jnp.concatenate([unprot_bits, msg_bits], axis=1)
+        return dict(user_bits=user_hat, bp_ok=bp.ok.reshape(B, self.num_cw),
+                    amp_iters=res.iters, bp_iters=bp.iters.reshape(B, -1),
+                    tau2_final=tau2_final)
+
+    # -------------------------------------------------------------- trial
+
+    def run_trials(self, key: jax.Array, batch: int) -> Dict[str, jax.Array]:
+        """Batched end-to-end Monte-Carlo block (SURVEY.md §3.5 inner body)."""
+        tkeys = rngu.trial_keys(key, batch)
+        mkeys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(tkeys)
+        nkeys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(tkeys)
+        bits = jax.vmap(
+            lambda k: jax.random.bernoulli(k, 0.5, (self.k_user,))
+        )(mkeys).astype(jnp.int32)
+        x = self.encode(bits)
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (self.sparc.cfg.n,),
+                                        dtype=jnp.float32))(nkeys)
+        y = x + noise * math.sqrt(self.sparc.sigma2)
+        out = self.decode(y)
+        bit_errors = jnp.sum(bits != out["user_bits"], axis=-1)
+        return dict(
+            bit_errors=jnp.sum(bit_errors),
+            frame_errors=jnp.sum(bit_errors > 0),
+            trials=jnp.asarray(batch, dtype=jnp.int32),
+            bp_ok=jnp.sum(out["bp_ok"]),
+            iters_sum=jnp.sum(out["amp_iters"]),
+        )

@@ -1,0 +1,64 @@
+"""Device-side LDPC code bundle: encoder + BP tables (SURVEY.md §2 #16-19).
+
+Construction and GF(2) systematization are host-side (design.ldpc_codes);
+this module ships the results to the device: the generator as an int8 matrix
+(encode = int matmul mod 2, MXU-friendly) and the padded BP adjacency
+tables (ops.bp).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LdpcConfig
+from ..design.ldpc_codes import LdpcCode, adjacency, build_code
+from ..ops.bp import BpResult, BpTables, bp_decode
+
+
+@dataclass(frozen=True)
+class LdpcModel:
+    cfg: LdpcConfig
+    code: LdpcCode                  # host truth (numpy)
+    G: jax.Array                    # (k, n) int8 device generator
+    H: jax.Array                    # (m, n) int8 device parity-check
+    tables: BpTables
+    msg_pos: jax.Array              # (k,) message positions in codeword
+
+    @staticmethod
+    def build(cfg: LdpcConfig) -> "LdpcModel":
+        code = build_code(cfg)
+        return LdpcModel(
+            cfg=cfg, code=code,
+            G=jnp.asarray(code.G, dtype=jnp.int8),
+            H=jnp.asarray(code.H, dtype=jnp.int8),
+            tables=BpTables.build(code),
+            msg_pos=jnp.asarray(code.message_positions, dtype=jnp.int32))
+
+    @property
+    def k(self) -> int:
+        return self.code.k
+
+    @property
+    def n(self) -> int:
+        return self.code.n
+
+    def encode(self, bits: jax.Array) -> jax.Array:
+        """(B, k) {0,1} -> (B, n) systematic codewords (int32 matmul mod 2)."""
+        prod = jnp.dot(bits.astype(jnp.int32), self.G.astype(jnp.int32),
+                       preferred_element_type=jnp.int32)
+        return (prod & 1).astype(jnp.int32)
+
+    def decode(self, llr: jax.Array, iters: Optional[int] = None) -> BpResult:
+        return bp_decode(llr, self.tables,
+                         iters=iters or self.cfg.bp_iters,
+                         method=self.cfg.decoder, alpha=self.cfg.alpha,
+                         clip=self.cfg.llr_clip)
+
+    def extract_message(self, codeword_bits: jax.Array) -> jax.Array:
+        """(B, n) -> (B, k) message bits at the systematic positions."""
+        return jnp.take(codeword_bits, self.msg_pos, axis=-1)

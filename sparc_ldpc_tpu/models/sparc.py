@@ -1,0 +1,131 @@
+"""SPARC codec pipeline: encode -> channel -> AMP decode -> errors.
+
+SURVEY.md §3.1/§3.2 and the L4->L5 contract
+(`run_trial(rng, params) -> {bit_errors, frame_error, iters}`).
+
+`SparcModel` bundles a config with its device constants (operator index
+sets, power allocation) so the whole trial is one jittable, vmap-free
+*batched* function: every stage is written over a leading codeword batch
+axis, which is the 'data' mesh axis at scale (SURVEY.md §2 parallelism
+breakdown: DP is the primary axis).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SparcConfig
+from ..design.power import power_allocation
+from ..design.se import se_trajectory
+from ..utils import rng as rngu
+from ..utils.bits import bits_to_indices, indices_to_bits
+from ..ops.operators import BatchedOperator, make_operator
+from .amp import AmpResult, amp_decode, hard_indices
+
+
+@dataclass(frozen=True)
+class SparcModel:
+    """A SPARC codebook instantiated on device for one operating point.
+
+    The power allocation depends on sigma2 for the SE-derived kinds, so a
+    model is built per (config, ebno) pair; building is host-side and cheap
+    relative to campaigns.
+    """
+    cfg: SparcConfig
+    ebno_db: float
+    sigma2: float
+    p_alloc: np.ndarray                 # host copy (design-time truth)
+    sq_npl: jax.Array                   # (L,) sqrt(n P_l) device constant
+    op: BatchedOperator
+    tau2_schedule: Optional[jax.Array]  # (T,) when cfg.tau_mode == "se"
+    use_pallas: bool = False
+
+    @staticmethod
+    def build(cfg: SparcConfig, ebno_db: float,
+              use_pallas: bool = False) -> "SparcModel":
+        sigma2 = cfg.sigma2(ebno_db)
+        p = power_allocation(cfg.power_alloc, cfg.L, cfg.P, sigma2,
+                             cfg.n, cfg.M, cfg.pa_a, cfg.pa_f)
+        sched = None
+        if cfg.tau_mode == "se":
+            tr = se_trajectory(p, cfg.n, cfg.M, sigma2, T=cfg.amp_iters)
+            sched = jnp.asarray(
+                np.pad(tr[1:], (0, max(0, cfg.amp_iters - len(tr) + 1)),
+                       mode="edge")[: cfg.amp_iters], dtype=jnp.float32)
+        return SparcModel(
+            cfg=cfg, ebno_db=ebno_db, sigma2=sigma2, p_alloc=p,
+            sq_npl=jnp.asarray(np.sqrt(cfg.n * p), dtype=jnp.float32),
+            op=make_operator(cfg, use_pallas=use_pallas),
+            tau2_schedule=sched, use_pallas=use_pallas)
+
+    # ------------------------------------------------------------- encode
+
+    def build_beta(self, indices: jax.Array) -> jax.Array:
+        """(B, L) indices -> (B, ML) beta via one-hot scatter (App. A.1)."""
+        onehot = jax.nn.one_hot(indices, self.cfg.M, dtype=jnp.float32)
+        beta = self.sq_npl[None, :, None] * onehot
+        return beta.reshape(indices.shape[0], self.cfg.ML)
+
+    def encode(self, bits: jax.Array) -> jax.Array:
+        """(B, k_bits) -> (B, n) codewords (SURVEY.md §3.1)."""
+        idx = bits_to_indices(bits, self.cfg.logM)
+        return self.op.Ax(self.build_beta(idx))
+
+    def channel(self, x: jax.Array, key: jax.Array) -> jax.Array:
+        noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+        return x + noise * math.sqrt(self.sigma2)
+
+    # ------------------------------------------------------------- decode
+
+    def decode(self, y: jax.Array, T: Optional[int] = None,
+               **amp_kw) -> AmpResult:
+        return amp_decode(
+            y, self.op, self.sq_npl, self.cfg.P, self.cfg.n,
+            T=T or self.cfg.amp_iters, tol=self.cfg.amp_tol,
+            tau2_schedule=self.tau2_schedule,
+            use_pallas_denoiser=self.use_pallas, **amp_kw)
+
+    def decode_bits(self, y: jax.Array) -> jax.Array:
+        res = self.decode(y)
+        return indices_to_bits(hard_indices(res.s), self.cfg.logM)
+
+    # -------------------------------------------------------------- trial
+
+    def run_trials(self, key: jax.Array, batch: int) -> Dict[str, jax.Array]:
+        """Full batched Monte-Carlo block: encode->channel->decode->count.
+
+        Key discipline (App. A.8): per-trial keys are fold_in(block_key, i);
+        message and noise keys are positional folds of the trial key, so
+        results are independent of batch partitioning / sharding.
+        """
+        tkeys = rngu.trial_keys(key, batch)                    # (B,) keys
+        mkeys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(tkeys)
+        nkeys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(tkeys)
+        bits = jax.vmap(
+            lambda k: jax.random.bernoulli(k, 0.5, (self.cfg.k_bits,))
+        )(mkeys).astype(jnp.int32)
+        idx_true = bits_to_indices(bits, self.cfg.logM)
+        x = self.op.Ax(self.build_beta(idx_true))
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (self.cfg.n,), dtype=jnp.float32)
+        )(nkeys)
+        y = x + noise * math.sqrt(self.sigma2)
+        res = self.decode(y)
+        idx_hat = hard_indices(res.s)
+        bits_hat = indices_to_bits(idx_hat, self.cfg.logM)
+        bit_errors = jnp.sum(bits != bits_hat, axis=-1)         # (B,)
+        section_errors = jnp.sum(idx_true != idx_hat, axis=-1)  # (B,)
+        return dict(
+            bit_errors=jnp.sum(bit_errors),
+            frame_errors=jnp.sum(bit_errors > 0),
+            section_errors=jnp.sum(section_errors),
+            trials=jnp.asarray(batch, dtype=jnp.int32),
+            iters_sum=jnp.sum(res.iters),
+            tau2_final=jnp.mean(res.tau2_trace[-1]),
+        )

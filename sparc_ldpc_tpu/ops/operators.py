@@ -1,0 +1,130 @@
+"""Batched matrix-free measurement operators (SURVEY.md §2 #6, #9, #10).
+
+The L2->L3 contract (SURVEY.md §1): AMP touches A only through a forward /
+adjoint matvec pair, batched over codewords:
+
+    Ax: (B, ML) -> (B, n)       Ay: (B, n) -> (B, ML)
+
+Operators are built from host-side plans (design.codebook) so the oracle and
+TPU paths use *identical* index sets; only the transform backend differs.
+
+TPU-first layout decisions (SURVEY.md §5 long-context analog):
+  - columns are the first ML natural Hadamard columns — the embedding
+    beta -> u is a zero-pad (usually the identity, since ML is a power of
+    two), so the section ('model') sharding of beta carries straight into
+    the transform with no gather;
+  - the row subset is sorted, so the (B, n) gather out of (B, N) is a
+    monotone static gather XLA lowers efficiently;
+  - all cross-device communication is induced by GSPMD from shardings
+    (a sharded mode contraction becomes a local matmul + psum) rather than
+    hand-written collectives.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SparcConfig
+from ..design.codebook import hadamard_plan, dct_plan
+from .fwht import fwht_mxu, fwht_pallas
+
+
+class BatchedOperator(NamedTuple):
+    """Forward/adjoint pair plus static geometry."""
+    Ax: Callable[[jax.Array], jax.Array]
+    Ay: Callable[[jax.Array], jax.Array]
+    n: int
+    ML: int
+    N: int
+
+
+def dense_operator(cfg: SparcConfig) -> BatchedOperator:
+    """Explicit iid N(0,1/n) matrix — oracle-parity path for small configs.
+
+    Uses the same seed chain as oracle.sparc.dense_operator so both realize
+    the same A (host numpy RNG, then shipped to device).
+    """
+    n, ML = cfg.n, cfg.ML
+    rng = np.random.default_rng(np.random.SeedSequence([0xDE45E, cfg.op_seed]))
+    A = jnp.asarray(rng.standard_normal((n, ML)) / math.sqrt(n),
+                    dtype=jnp.float32)
+
+    def Ax(beta):
+        return beta @ A.T
+
+    def Ay(z):
+        return z @ A
+
+    return BatchedOperator(Ax=Ax, Ay=Ay, n=n, ML=ML, N=ML)
+
+
+def hadamard_operator(cfg: SparcConfig, use_pallas: bool = False) -> BatchedOperator:
+    """Matrix-free partial-Hadamard operator (App. A.3), MXU transform."""
+    plan = hadamard_plan(cfg.n, cfg.ML, cfg.op_seed, cfg.col_signs)
+    N, n, ML = plan.N, plan.n, plan.ML
+    rows = jnp.asarray(plan.rows, dtype=jnp.int32)
+    signs = (jnp.asarray(plan.signs, dtype=jnp.float32)
+             if plan.signs is not None else None)
+    inv_sqrt_n = 1.0 / math.sqrt(n)
+    fwht = fwht_pallas if use_pallas else fwht_mxu
+
+    def Ax(beta):  # (B, ML) -> (B, n)
+        if signs is not None:
+            beta = beta * signs
+        u = beta if ML == N else jnp.pad(beta, ((0, 0), (0, N - ML)))
+        w = fwht(u)
+        return jnp.take(w, rows, axis=-1) * inv_sqrt_n
+
+    def Ay(z):  # (B, n) -> (B, ML)
+        u = jnp.zeros(z.shape[:-1] + (N,), dtype=z.dtype)
+        u = u.at[..., rows].set(z)
+        w = fwht(u)
+        s = w[..., :ML] * inv_sqrt_n
+        return s * signs if signs is not None else s
+
+    return BatchedOperator(Ax=Ax, Ay=Ay, n=n, ML=ML, N=N)
+
+
+def dct_operator(cfg: SparcConfig) -> BatchedOperator:
+    """Matrix-free subsampled orthonormal-DCT operator (App. A.3).
+
+    DCT-II (norm='ortho') forward, DCT-III (= idct ortho) adjoint; XLA FFT
+    path.  Column Rademacher signs ON per the plan (see design.codebook).
+    """
+    import jax.scipy.fft as jfft
+
+    plan = dct_plan(cfg.n, cfg.ML, cfg.op_seed, col_signs=True)
+    N, n, ML = plan.N, plan.n, plan.ML
+    rows = jnp.asarray(plan.rows, dtype=jnp.int32)
+    signs = jnp.asarray(plan.signs, dtype=jnp.float32)
+    scale = math.sqrt(N / n)
+
+    def Ax(beta):
+        u = (beta * signs)
+        if ML != N:
+            u = jnp.pad(u, ((0, 0), (0, N - ML)))
+        w = jfft.dct(u, norm="ortho", axis=-1)
+        return jnp.take(w, rows, axis=-1) * scale
+
+    def Ay(z):
+        u = jnp.zeros(z.shape[:-1] + (N,), dtype=z.dtype)
+        u = u.at[..., rows].set(z)
+        w = jfft.idct(u, norm="ortho", axis=-1)
+        return w[..., :ML] * scale * signs
+
+    return BatchedOperator(Ax=Ax, Ay=Ay, n=n, ML=ML, N=N)
+
+
+def make_operator(cfg: SparcConfig, use_pallas: bool = False) -> BatchedOperator:
+    if cfg.op_kind == "dense":
+        return dense_operator(cfg)
+    if cfg.op_kind == "hadamard":
+        return hadamard_operator(cfg, use_pallas=use_pallas)
+    if cfg.op_kind == "dct":
+        return dct_operator(cfg)
+    raise ValueError(cfg.op_kind)
