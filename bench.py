@@ -1,0 +1,99 @@
+"""Headline benchmark: AMP-decoded bits/s/chip, rate 1.0, L=1024.
+
+BASELINE.md: the primary metric is TPU decode throughput on the flagship
+config (power-allocated SPARC L=1024, M=512, R=1.0, partial-Hadamard
+operator), with `vs_baseline` = TPU bits/s divided by the CPU oracle's
+bits/s on the *same* decode (NumPy float64 + native C++ FWHT — the honest
+reference-lineage CPU path).  Target: >=10x.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_cpu_oracle(cfg, ebno_db: float, T: int) -> float:
+    """Oracle decode throughput (bits/s) on one codeword, native FWHT."""
+    import numpy as np
+    from sparc_ldpc_tpu.design.power import power_allocation
+    from sparc_ldpc_tpu.oracle import sparc as osparc
+    from sparc_ldpc_tpu.oracle.fwht import has_native
+
+    sigma2 = cfg.sigma2(ebno_db)
+    p = power_allocation(cfg.power_alloc, cfg.L, cfg.P, sigma2, cfg.n, cfg.M)
+    op = osparc.make_operator(cfg)
+    rng = np.random.default_rng(np.random.SeedSequence([0x7124A1, 0]))
+    bits = rng.integers(0, 2, cfg.k_bits)
+    x = osparc.encode(bits, cfg, p, op)
+    y = osparc.awgn(x, sigma2, rng)
+    # warmup + timed decode at fixed T (same iteration count as TPU path)
+    osparc.amp_decode(y, cfg, p, op, T=2)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        osparc.amp_decode(y, cfg, p, op, T=T)
+    dt = (time.perf_counter() - t0) / reps
+    log(f"cpu oracle: {dt*1e3:.0f} ms/codeword (T={T}, "
+        f"native_fwht={has_native()}) -> {cfg.k_bits/dt:,.0f} bits/s")
+    return cfg.k_bits / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from sparc_ldpc_tpu.config import SparcConfig
+    from sparc_ldpc_tpu.models.sparc import SparcModel
+    from sparc_ldpc_tpu.utils import rng as rngu
+
+    T = 32          # fixed AMP iteration budget (SE needs 28 iters @ 2 dB —
+                    # R=1.0 is only 0.24 dB above the Shannon limit here)
+    B = 128         # codewords per block on the chip
+    EBNO = 2.0
+    cfg = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
+                      op_kind="hadamard", amp_iters=T, amp_tol=0.0)
+
+    log(f"devices: {jax.devices()}")
+    model = SparcModel.build(cfg, ebno_db=EBNO)
+
+    run = jax.jit(model.run_block)
+    tkeys = rngu.trial_keys(rngu.base_key(0), B)
+
+    t0 = time.perf_counter()
+    out = {k: v.block_until_ready() for k, v in run(tkeys).items()}
+    log(f"compile+first block: {time.perf_counter()-t0:.1f}s  "
+        f"section_errors={int(out['section_errors'])}/{B*cfg.L} "
+        f"tau2_final={float(out['tau2_final']):.4f} "
+        f"(sigma2={model.sigma2:.4f})")
+
+    # steady-state timing over fresh key blocks (no caching effects)
+    reps = 5
+    t0 = time.perf_counter()
+    for r in range(1, reps + 1):
+        out = run(rngu.trial_keys(rngu.base_key(r), B))
+    _ = {k: v.block_until_ready() for k, v in out.items()}
+    dt = (time.perf_counter() - t0) / reps
+    tpu_bits_per_s = B * cfg.k_bits / dt
+    log(f"tpu: {dt*1e3:.1f} ms/block of {B} -> {tpu_bits_per_s:,.0f} bits/s")
+
+    cpu_bits_per_s = measure_cpu_oracle(cfg, EBNO, T)
+    ratio = tpu_bits_per_s / cpu_bits_per_s
+
+    print(json.dumps({
+        "metric": "amp_decoded_bits_per_s_per_chip_L1024_R1",
+        "value": round(tpu_bits_per_s, 1),
+        "unit": "bits/s",
+        "vs_baseline": round(ratio, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,11 +62,12 @@ def _se_residual(p: np.ndarray, n: int, M: int, sigma2: float,
 
 
 def optimize_modified(L: int, P: float, sigma2: float, n: int, M: int,
-                      n_samples: int = 2048, seed: int = 0):
+                      n_samples: int = 2048, seed: int = 0,
+                      na: int = 8, nf: int = 7):
     """Grid-search (a, f) minimizing the SE residual (App. A.2 'tuned')."""
     best = (None, None, np.inf)
-    for a in np.linspace(0.5, 1.2, 8):
-        for f in np.linspace(0.4, 1.0, 7):
+    for a in np.linspace(0.5, 1.2, na):
+        for f in np.linspace(0.4, 1.0, nf):
             p = modified_alloc(L, P, sigma2, float(a), float(f))
             r = _se_residual(p, n, M, sigma2, n_samples, seed)
             if r < best[2]:
@@ -123,9 +124,27 @@ def iterative_alloc(L: int, P: float, sigma2: float, n: int, M: int,
     return p
 
 
+_PA_CACHE: dict = {}
+
+
 def power_allocation(kind: str, L: int, P: float, sigma2: float, n: int,
                      M: int, a=None, f=None, seed: int = 0) -> np.ndarray:
-    """Dispatch per SparcConfig.power_alloc (SURVEY.md §2 #4-5)."""
+    """Dispatch per SparcConfig.power_alloc (SURVEY.md §2 #4-5).
+
+    Results are memoized: the SE-driven kinds cost seconds at L=1024+ and
+    campaigns rebuild the model per sweep point.
+    """
+    key = (kind, L, P, round(float(sigma2), 14), n, M, a, f, seed)
+    hit = _PA_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _power_allocation(kind, L, P, sigma2, n, M, a, f, seed)
+    _PA_CACHE[key] = out
+    return out
+
+
+def _power_allocation(kind: str, L: int, P: float, sigma2: float, n: int,
+                      M: int, a=None, f=None, seed: int = 0) -> np.ndarray:
     if kind == "flat":
         return flat_alloc(L, P)
     if kind == "exp":

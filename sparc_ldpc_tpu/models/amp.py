@@ -50,12 +50,16 @@ def amp_decode(
     pinned_onehot: Optional[jax.Array] = None,   # (B, L, M) one-hot targets
     pinned_mask: Optional[jax.Array] = None,     # (B, L) bool
     use_pallas_denoiser: bool = False,
+    policy=None,                                 # parallel.mesh.ShardingPolicy
 ) -> AmpResult:
     B = y.shape[0]
     L = sq_npl.shape[0]
     ML = op.ML
     M = ML // L
     dn = denoise_pallas if use_pallas_denoiser else denoise
+    c_bml = policy.constrain_bml if policy is not None else (lambda x: x)
+    c_blm = policy.constrain_blm if policy is not None else (lambda x: x)
+    c_bn = policy.constrain_bn if policy is not None else (lambda x: x)
 
     def apply_pin(beta3, post):
         if pinned_mask is None:
@@ -67,14 +71,15 @@ def amp_decode(
 
     def step(state, t):
         beta, z, tau2_prev, done, iters, s, post = state
-        bnorm2 = jnp.sum(beta * beta, axis=-1)                  # (B,)
+        beta = c_bml(beta)
+        bnorm2 = jnp.sum(beta * beta, axis=-1)     # psum over section shards
         coef = (P - bnorm2 / n) / tau2_prev                     # 0 at t=0 (inf)
-        z_new = y - op.Ax(beta) + z * coef[:, None]
+        z_new = c_bn(y - op.Ax(beta) + z * coef[:, None])
         if tau2_schedule is None:
             tau2 = jnp.sum(z_new * z_new, axis=-1) / n          # (B,)
         else:
             tau2 = jnp.full((B,), tau2_schedule[t], dtype=y.dtype)
-        s_new = (beta + op.Ay(z_new)).reshape(B, L, M)
+        s_new = c_blm((beta + op.Ay(z_new)).reshape(B, L, M))
         beta3, post_new = dn(s_new, tau2, sq_npl)
         beta3, post_new = apply_pin(beta3, post_new)
         conv = jnp.abs(tau2 - tau2_prev) < tol * tau2

@@ -64,8 +64,9 @@ class ConcatModel:
 
     @staticmethod
     def build(cfg: ConcatConfig, ebno_db: float,
-              use_pallas: bool = False) -> "ConcatModel":
-        sparc = SparcModel.build(cfg.sparc, ebno_db, use_pallas=use_pallas)
+              use_pallas: bool = False, policy=None) -> "ConcatModel":
+        sparc = SparcModel.build(cfg.sparc, ebno_db, use_pallas=use_pallas,
+                                 policy=policy)
         ldpc = LdpcModel.build(cfg.ldpc)
         Lu, Lp, num_cw = _derive_partition(
             cfg.sparc.L, cfg.sparc.logM, ldpc.n, cfg.f_prot)
@@ -175,7 +176,10 @@ class ConcatModel:
 
     def run_trials(self, key: jax.Array, batch: int) -> Dict[str, jax.Array]:
         """Batched end-to-end Monte-Carlo block (SURVEY.md §3.5 inner body)."""
-        tkeys = rngu.trial_keys(key, batch)
+        return self.run_block(rngu.trial_keys(key, batch))
+
+    def run_block(self, tkeys: jax.Array) -> Dict[str, jax.Array]:
+        batch = tkeys.shape[0]
         mkeys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(tkeys)
         nkeys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(tkeys)
         bits = jax.vmap(

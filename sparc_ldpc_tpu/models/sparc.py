@@ -45,10 +45,11 @@ class SparcModel:
     op: BatchedOperator
     tau2_schedule: Optional[jax.Array]  # (T,) when cfg.tau_mode == "se"
     use_pallas: bool = False
+    policy: object = None               # parallel.mesh.ShardingPolicy | None
 
     @staticmethod
     def build(cfg: SparcConfig, ebno_db: float,
-              use_pallas: bool = False) -> "SparcModel":
+              use_pallas: bool = False, policy=None) -> "SparcModel":
         sigma2 = cfg.sigma2(ebno_db)
         p = power_allocation(cfg.power_alloc, cfg.L, cfg.P, sigma2,
                              cfg.n, cfg.M, cfg.pa_a, cfg.pa_f)
@@ -62,7 +63,7 @@ class SparcModel:
             cfg=cfg, ebno_db=ebno_db, sigma2=sigma2, p_alloc=p,
             sq_npl=jnp.asarray(np.sqrt(cfg.n * p), dtype=jnp.float32),
             op=make_operator(cfg, use_pallas=use_pallas),
-            tau2_schedule=sched, use_pallas=use_pallas)
+            tau2_schedule=sched, use_pallas=use_pallas, policy=policy)
 
     # ------------------------------------------------------------- encode
 
@@ -89,7 +90,8 @@ class SparcModel:
             y, self.op, self.sq_npl, self.cfg.P, self.cfg.n,
             T=T or self.cfg.amp_iters, tol=self.cfg.amp_tol,
             tau2_schedule=self.tau2_schedule,
-            use_pallas_denoiser=self.use_pallas, **amp_kw)
+            use_pallas_denoiser=self.use_pallas, policy=self.policy,
+            **amp_kw)
 
     def decode_bits(self, y: jax.Array) -> jax.Array:
         res = self.decode(y)
@@ -104,7 +106,13 @@ class SparcModel:
         message and noise keys are positional folds of the trial key, so
         results are independent of batch partitioning / sharding.
         """
-        tkeys = rngu.trial_keys(key, batch)                    # (B,) keys
+        return self.run_block(rngu.trial_keys(key, batch))
+
+    def run_block(self, tkeys: jax.Array) -> Dict[str, jax.Array]:
+        """Same as run_trials but takes the (B,) per-trial key array —
+        the campaign driver shards it over the 'data' mesh axis and jits
+        this function (SURVEY.md §3.5)."""
+        batch = tkeys.shape[0]
         mkeys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(tkeys)
         nkeys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(tkeys)
         bits = jax.vmap(

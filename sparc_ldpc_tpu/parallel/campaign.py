@@ -1,0 +1,127 @@
+"""Monte-Carlo BER/FER campaign driver (SURVEY.md §3.5, App. A.8).
+
+Per Eb/N0 point: run jitted trial blocks (batch sharded over the 'data' mesh
+axis) until the frame-error budget or trial cap is met.  All randomness
+flows from the fold_in key tree (base, point, block, trial), so:
+
+  - re-running with a different mesh/device count gives bitwise-identical
+    counters (tests/test_parallel.py);
+  - completed blocks are journaled (utils.io.CampaignState) and skipped on
+    restart; a crash costs only the in-flight block (SURVEY.md §5
+    failure-detection/elastic design).
+
+Only process 0 writes results (single-writer rule).  Counters come back as
+tiny scalars per block; the cross-device reduction happens inside jit (sum
+over the sharded batch axis -> GSPMD psum over 'data').
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..config import CampaignConfig
+from ..utils import io as iou
+from ..utils import rng as rngu
+from .mesh import ShardingPolicy
+
+
+_COUNTER_KEYS = ("bit_errors", "frame_errors", "section_errors", "trials",
+                 "iters_sum", "bp_ok")
+
+
+def run_point(
+    run_block: Callable,
+    point_key: jax.Array,
+    batch: int,
+    min_frame_errors: int,
+    max_trials: int,
+    state: Optional[iou.CampaignState] = None,
+    point_idx: int = 0,
+    policy: Optional[ShardingPolicy] = None,
+    is_proc0: bool = True,
+) -> Dict[str, float]:
+    """Run blocks until the error budget for one sweep point is met."""
+    totals: Dict[str, float] = {}
+    block = 0
+    t0 = time.perf_counter()
+    compiled = None
+    while (totals.get("frame_errors", 0) < min_frame_errors
+           and totals.get("trials", 0) < max_trials):
+        if state is not None and state.is_done(point_idx, block):
+            rec = state.block_record(point_idx, block)
+            for k in _COUNTER_KEYS:
+                if k in rec:
+                    totals[k] = totals.get(k, 0) + rec[k]
+            block += 1
+            continue
+        tkeys = rngu.trial_keys(rngu.block_key(point_key, block), batch)
+        if policy is not None:
+            tkeys = jax.device_put(tkeys, policy.batch1())
+        if compiled is None:
+            compiled = jax.jit(run_block)
+        out = compiled(tkeys)
+        out = {k: int(v) for k, v in out.items()
+               if k in _COUNTER_KEYS}
+        for k, v in out.items():
+            totals[k] = totals.get(k, 0) + v
+        if state is not None:
+            state.record_block(point_idx, block, out, is_proc0=is_proc0)
+        block += 1
+    totals["wall_s"] = time.perf_counter() - t0
+    totals["blocks"] = block
+    return totals
+
+
+def run_campaign(
+    model_for_point: Callable[[float], object],
+    cfg: CampaignConfig,
+    k_bits_fn: Callable[[object], int],
+    journal_path: Optional[str] = None,
+    results_path: Optional[str] = None,
+    policy: Optional[ShardingPolicy] = None,
+    is_proc0: bool = True,
+    verbose: bool = True,
+) -> List[Dict[str, float]]:
+    """Full Eb/N0 sweep -> list of result records (also jsonl-persisted).
+
+    Args:
+      model_for_point: ebno_db -> model exposing .run_block(tkeys).
+      k_bits_fn: model -> payload bits per trial (denominator for BER).
+    """
+    state = iou.CampaignState(journal_path) if journal_path else None
+    base = rngu.base_key(cfg.base_seed)
+    results = []
+    for pi, ebno in enumerate(cfg.ebno_grid_db):
+        model = model_for_point(ebno)
+        pkey = rngu.point_key(base, pi)
+        tot = run_point(model.run_block, pkey, cfg.batch,
+                        cfg.min_frame_errors, cfg.max_trials,
+                        state=state, point_idx=pi, policy=policy,
+                        is_proc0=is_proc0)
+        kb = k_bits_fn(model)
+        trials = max(1, int(tot.get("trials", 0)))
+        rec = dict(
+            kind="point", ebno_db=float(ebno),
+            ber=tot.get("bit_errors", 0) / (trials * kb),
+            fer=tot.get("frame_errors", 0) / trials,
+            trials=trials,
+            bit_errors=int(tot.get("bit_errors", 0)),
+            frame_errors=int(tot.get("frame_errors", 0)),
+            mean_iters=tot.get("iters_sum", 0) / trials,
+            wall_s=tot["wall_s"],
+            bits_per_s=trials * kb / max(tot["wall_s"], 1e-9),
+            blocks=int(tot["blocks"]),
+        )
+        results.append(rec)
+        if results_path and is_proc0:
+            iou.append_jsonl(results_path, rec)
+        if verbose and is_proc0:
+            print(f"  ebno={ebno:5.2f} dB  ber={rec['ber']:.3e}  "
+                  f"fer={rec['fer']:.3e}  trials={trials}  "
+                  f"({rec['bits_per_s']:,.0f} bits/s)")
+    return results

@@ -1,1 +1,1 @@
-from . import bits, rng, io  # noqa: F401
+from . import bits, rng, io, profiling  # noqa: F401

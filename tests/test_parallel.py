@@ -1,0 +1,101 @@
+"""Distributed-without-a-cluster tests (SURVEY.md §4.4): 8 fake CPU devices.
+
+Identical-results discipline: the fold_in key tree makes counters a pure
+function of (config, seed), so 1-device and 8-device meshes must agree.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sparc_ldpc_tpu.config import CampaignConfig, SparcConfig
+from sparc_ldpc_tpu.models.sparc import SparcModel
+from sparc_ldpc_tpu.parallel.mesh import ShardingPolicy, make_mesh
+from sparc_ldpc_tpu.parallel.campaign import run_campaign, run_point
+from sparc_ldpc_tpu.utils import rng as rngu
+from sparc_ldpc_tpu.utils.io import CampaignState
+
+
+CFG = SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=12)
+
+
+def test_fake_devices_present():
+    assert jax.device_count() == 8, (
+        "conftest must provide 8 virtual CPU devices")
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(section_shards=2)
+    assert mesh.shape == {"data": 4, "section": 2}
+    mesh = make_mesh(section_shards=1)
+    assert mesh.shape == {"data": 8, "section": 1}
+    with pytest.raises(ValueError):
+        make_mesh(section_shards=3)
+
+
+def _counters(model, mesh=None, policy=None, batch=16, seed=3):
+    tkeys = rngu.trial_keys(rngu.base_key(seed), batch)
+    if policy is not None:
+        tkeys = jax.device_put(tkeys, policy.batch1())
+    out = jax.jit(model.run_block)(tkeys)
+    return {k: int(v) for k, v in out.items()
+            if k in ("bit_errors", "frame_errors", "section_errors", "trials")}
+
+
+def test_dp_sharded_matches_single_device():
+    """Pure DP over 8 devices == single device, bitwise (SURVEY.md §4.4)."""
+    model = SparcModel.build(CFG, ebno_db=5.0)
+    ref = _counters(model)
+    mesh = make_mesh(section_shards=1)
+    pol = ShardingPolicy(mesh, section_axis=None)
+    model_sh = SparcModel.build(CFG, ebno_db=5.0, policy=pol)
+    with jax.sharding.set_mesh(mesh):
+        got = _counters(model_sh, policy=pol)
+    assert got == ref
+
+
+def test_section_sharded_matches_single_device():
+    """data x section mesh == single device on integer counters."""
+    model = SparcModel.build(CFG, ebno_db=5.0)
+    ref = _counters(model)
+    mesh = make_mesh(section_shards=2)
+    pol = ShardingPolicy(mesh)
+    model_sh = SparcModel.build(CFG, ebno_db=5.0, policy=pol)
+    with jax.sharding.set_mesh(mesh):
+        got = _counters(model_sh, policy=pol)
+    assert got == ref
+
+
+def test_campaign_runs_and_resumes(tmp_path):
+    """Restart reproduces identical final counters from the journal
+    (SURVEY.md §5 fault-injection design)."""
+    ccfg = CampaignConfig(ebno_grid_db=(5.0,), batch=8, min_frame_errors=2,
+                          max_trials=64, base_seed=11)
+    model = SparcModel.build(CFG, ebno_db=5.0)
+    journal = str(tmp_path / "journal.jsonl")
+
+    res1 = run_campaign(lambda e: model, ccfg, lambda m: m.cfg.k_bits,
+                        journal_path=journal, verbose=False)
+
+    # simulate a crash: drop the last journaled block, then resume
+    lines = open(journal).read().strip().split("\n")
+    with open(journal, "w") as f:
+        f.write("\n".join(lines[:-1]) + "\n")
+    res2 = run_campaign(lambda e: model, ccfg, lambda m: m.cfg.k_bits,
+                        journal_path=journal, verbose=False)
+
+    for k in ("bit_errors", "frame_errors", "trials"):
+        assert res1[0][k] == res2[0][k]
+
+
+def test_run_point_respects_budget():
+    model = SparcModel.build(CFG, ebno_db=8.0)  # high SNR: no errors
+    pkey = rngu.point_key(rngu.base_key(0), 0)
+    tot = run_point(model.run_block, pkey, batch=8, min_frame_errors=1,
+                    max_trials=16)
+    assert tot["trials"] == 16  # hit the cap, not the error budget
