@@ -56,6 +56,10 @@ class SparcConfig:
         < eps * tau2_t (SURVEY.md App. A.5).
       tau_mode: "online" (tau2_t = ||z_t||^2 / n) or "se" (precomputed
         state-evolution schedule).
+      transform_precision: MXU precision for the fast transforms —
+        "highest" | "high" | "default" | "bf16" (ops.fwht.fwht_mxu).
+        "high" (3-pass f32) is accuracy-safe; "bf16" halves HBM traffic and
+        is validated for BER parity in tests/test_precision.py.
     """
 
     L: int = 256
@@ -71,6 +75,8 @@ class SparcConfig:
     amp_iters: int = 32
     amp_tol: float = 1e-6
     tau_mode: str = "online"
+    transform_precision: str = "high"
+    fwht_scheme: str = "rev"   # "rev" (transpose-free) | "mxu" (moveaxis)
 
     def __post_init__(self):
         if not _is_pow2(self.M):
@@ -81,6 +87,10 @@ class SparcConfig:
             raise ValueError(f"unknown op_kind {self.op_kind!r}")
         if self.tau_mode not in ("online", "se"):
             raise ValueError(f"unknown tau_mode {self.tau_mode!r}")
+        if self.transform_precision not in ("highest", "high", "default",
+                                            "bf16"):
+            raise ValueError(
+                f"unknown transform_precision {self.transform_precision!r}")
 
     @property
     def logM(self) -> int:

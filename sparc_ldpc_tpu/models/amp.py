@@ -13,6 +13,11 @@ TPU-first structure:
   - per-codeword early stop is a *mask*, not control flow (SURVEY.md §7
     hard-part 4): once |tau2_t - tau2_{t-1}| < tol*tau2_t the state is
     frozen, so trajectories match the oracle's `break` semantics exactly;
+  - the scan carry holds ONLY (beta, z, tau2, done, iters).  The final
+    posteriors and hard decisions are recovered from beta after the loop
+    (beta = sqrt(nP_l) * posterior, and argmax_j posterior == argmax_j s
+    sectionwise), which removes two (B, L, M) tensors from the carry —
+    at L=1024/M=512/B=128 that is ~0.5 GB of HBM traffic per iteration;
   - the reductions ||beta||^2 and ||z||^2 are plain sums — under a section-
     sharded NamedSharding, GSPMD turns them into the psum the design calls
     for (SURVEY.md §2 #14-15) with no hand-written collectives;
@@ -32,8 +37,9 @@ from ..ops.operators import BatchedOperator
 
 
 class AmpResult(NamedTuple):
-    s: jax.Array            # (B, L, M) final test statistic
+    beta: jax.Array         # (B, L, M) final posterior-mean estimate
     posteriors: jax.Array   # (B, L, M) final section posteriors
+    scores: jax.Array       # (B, L, M) log-posteriors (LLR-extraction input)
     tau2_trace: jax.Array   # (T, B)
     iters: jax.Array        # (B,) iterations actually used
 
@@ -61,16 +67,14 @@ def amp_decode(
     c_blm = policy.constrain_blm if policy is not None else (lambda x: x)
     c_bn = policy.constrain_bn if policy is not None else (lambda x: x)
 
-    def apply_pin(beta3, post):
+    def apply_pin(beta3):
         if pinned_mask is None:
-            return beta3, post
+            return beta3
         m = pinned_mask[:, :, None]
-        post = jnp.where(m, pinned_onehot, post)
-        beta3 = jnp.where(m, sq_npl[None, :, None] * pinned_onehot, beta3)
-        return beta3, post
+        return jnp.where(m, sq_npl[None, :, None] * pinned_onehot, beta3)
 
     def step(state, t):
-        beta, z, tau2_prev, done, iters, s, post = state
+        beta, z, tau2_prev, done, iters = state
         beta = c_bml(beta)
         bnorm2 = jnp.sum(beta * beta, axis=-1)     # psum over section shards
         coef = (P - bnorm2 / n) / tau2_prev                     # 0 at t=0 (inf)
@@ -80,20 +84,18 @@ def amp_decode(
         else:
             tau2 = jnp.full((B,), tau2_schedule[t], dtype=y.dtype)
         s_new = c_blm((beta + op.Ay(z_new)).reshape(B, L, M))
-        beta3, post_new = dn(s_new, tau2, sq_npl)
-        beta3, post_new = apply_pin(beta3, post_new)
+        beta3, _ = dn(s_new, tau2, sq_npl)
+        beta3 = apply_pin(beta3)
         conv = jnp.abs(tau2 - tau2_prev) < tol * tau2
         # freeze codewords that were already done before this iteration
         keep = done
-        k1, k3 = keep[:, None], keep[:, None, None]
+        k1 = keep[:, None]
         out = (
             jnp.where(k1, beta, beta3.reshape(B, ML)),
             jnp.where(k1, z, z_new),
             jnp.where(keep, tau2_prev, tau2),
             keep | conv,
             iters + jnp.where(keep, 0, 1).astype(iters.dtype),
-            jnp.where(k3, s, s_new),
-            jnp.where(k3, post, post_new),
         )
         return out, jnp.where(keep, tau2_prev, tau2)
 
@@ -102,16 +104,22 @@ def amp_decode(
     tau20 = jnp.full((B,), jnp.inf, dtype=y.dtype)
     done0 = jnp.zeros((B,), dtype=bool)
     it0 = jnp.zeros((B,), dtype=jnp.int32)
-    s0 = jnp.zeros((B, L, M), dtype=y.dtype)
-    post0 = jnp.full((B, L, M), 1.0 / M, dtype=y.dtype)
 
-    state, trace = jax.lax.scan(
-        step, (beta0, z0, tau20, done0, it0, s0, post0),
-        jnp.arange(T))
-    _, _, _, _, iters, s, post = state
-    return AmpResult(s=s, posteriors=post, tau2_trace=trace, iters=iters)
+    (beta, z, tau2, done, iters), trace = jax.lax.scan(
+        step, (beta0, z0, tau20, done0, it0), jnp.arange(T))
+
+    beta3 = beta.reshape(B, L, M)
+    post = beta3 / sq_npl[None, :, None]
+    # log-posteriors for LLR extraction; the smallest normal f32 bounds the
+    # effective clip at ~87 nats >> the BP llr_clip, so the floor is inert.
+    scores = jnp.log(jnp.maximum(post, jnp.finfo(y.dtype).tiny))
+    return AmpResult(beta=beta3, posteriors=post, scores=scores,
+                     tau2_trace=trace, iters=iters)
 
 
-def hard_indices(s: jax.Array) -> jax.Array:
-    """argmax per section: (B, L, M) -> (B, L) (App. A.5 hard decision)."""
-    return jnp.argmax(s, axis=-1).astype(jnp.int32)
+def hard_indices(scores_or_beta: jax.Array) -> jax.Array:
+    """argmax per section: (B, L, M) -> (B, L) (App. A.5 hard decision).
+
+    Valid on beta, posteriors, or scores — all share the sectionwise argmax.
+    """
+    return jnp.argmax(scores_or_beta, axis=-1).astype(jnp.int32)

@@ -7,10 +7,9 @@ sections (num_cw * n ≡ 0 mod logM) — sections stay shard-aligned with the
 LDPC partition (SURVEY.md §3.3 boundary note).
 
 Decode chain:
-  1. full AMP -> final scores a = sqrt(nP_l) s / tau2 (log-posteriors up to
-     a constant);
-  2. bitwise LLRs over protected sections by masked logsumexp directly on
-     the scores (more stable in f32 than exp-then-log of posteriors);
+  1. full AMP -> final log-posterior scores (AmpResult.scores);
+  2. bitwise LLRs over protected sections by masked logsumexp over the
+     scores;
   3. flooding BP (ops.bp);
   4. harden -> protected section indices;
   5. decision feedback: re-run AMP with protected sections *pinned* to
@@ -102,16 +101,15 @@ class ConcatModel:
 
     # ------------------------------------------------------------- decode
 
-    def _protected_llrs(self, s: jax.Array, tau2: jax.Array) -> jax.Array:
-        """Scores -> bitwise LLRs for protected sections.
+    def _protected_llrs(self, scores: jax.Array) -> jax.Array:
+        """Log-posterior scores -> bitwise LLRs for protected sections.
 
-        a_{l,j} = sqrt(n P_l) s_{l,j} / tau2 are unnormalized log-posteriors;
-        llr_b = lse_{j: bit_b(j)=0} a_j  -  lse_{j: bit_b(j)=1} a_j.
+        a_{l,j} = log p_{l,j} (any per-section shift cancels in the lse
+        difference); llr_b = lse_{j: bit_b(j)=0} a - lse_{j: bit_b(j)=1} a.
         Returns (B, Lp*logM).
         """
-        B = s.shape[0]
-        sq = self.sparc.sq_npl[self.Lu:]
-        a = sq[None, :, None] * s[:, self.Lu:, :] / tau2[:, None, None]
+        B = scores.shape[0]
+        a = scores[:, self.Lu:, :]
         a = a[:, :, None, :]                                  # (B,Lp,1,M)
         mask1 = self.bit_masks[None, None]                    # (1,1,logM,M)
         neg = jnp.finfo(a.dtype).min
@@ -130,7 +128,7 @@ class ConcatModel:
         tau2_final = res.tau2_trace[-1]
 
         # (2)-(3) LLRs -> BP
-        llr = self._protected_llrs(res.s, tau2_final)
+        llr = self._protected_llrs(res.scores)
         llr = llr.reshape(B * self.num_cw, self.ldpc.n)
         bp = self.ldpc.decode(llr)
         # BP that fails the syndrome check can be *worse* than the channel
@@ -162,7 +160,7 @@ class ConcatModel:
             pinned_onehot=pin_onehot, pinned_mask=pin_mask)
 
         # (6) final decisions
-        unprot_idx = hard_indices(res2.s)[:, : self.Lu]
+        unprot_idx = hard_indices(res2.beta)[:, : self.Lu]
         unprot_bits = indices_to_bits(unprot_idx, logM)
         msg_bits = self.ldpc.extract_message(
             cw_hat.reshape(B * self.num_cw, self.ldpc.n)

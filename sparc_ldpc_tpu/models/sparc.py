@@ -95,7 +95,7 @@ class SparcModel:
 
     def decode_bits(self, y: jax.Array) -> jax.Array:
         res = self.decode(y)
-        return indices_to_bits(hard_indices(res.s), self.cfg.logM)
+        return indices_to_bits(hard_indices(res.beta), self.cfg.logM)
 
     # -------------------------------------------------------------- trial
 
@@ -125,7 +125,7 @@ class SparcModel:
         )(nkeys)
         y = x + noise * math.sqrt(self.sigma2)
         res = self.decode(y)
-        idx_hat = hard_indices(res.s)
+        idx_hat = hard_indices(res.beta)
         bits_hat = indices_to_bits(idx_hat, self.cfg.logM)
         bit_errors = jnp.sum(bits != bits_hat, axis=-1)         # (B,)
         section_errors = jnp.sum(idx_true != idx_hat, axis=-1)  # (B,)

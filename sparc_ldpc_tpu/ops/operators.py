@@ -31,7 +31,7 @@ import numpy as np
 
 from ..config import SparcConfig
 from ..design.codebook import hadamard_plan, dct_plan
-from .fwht import fwht_mxu, fwht_pallas
+from .fwht import fwht_from_rev, fwht_mxu, fwht_pallas, fwht_to_rev, rev_indices
 
 
 class BatchedOperator(NamedTuple):
@@ -64,28 +64,69 @@ def dense_operator(cfg: SparcConfig) -> BatchedOperator:
 
 
 def hadamard_operator(cfg: SparcConfig, use_pallas: bool = False) -> BatchedOperator:
-    """Matrix-free partial-Hadamard operator (App. A.3), MXU transform."""
+    """Matrix-free partial-Hadamard operator (App. A.3), MXU transform.
+
+    Transpose-free scheme (see ops.fwht): the forward transform emits the
+    Walsh spectrum in *reversed mode layout* and the adjoint consumes that
+    layout, so the per-iteration transforms are pure batched matmuls with no
+    transpose passes.  The mode reversal is absorbed into the row index set:
+    both directions address rows at rev_indices(rows) — precomputed on host,
+    part of neither the code definition nor the math (w_rev[rev(i)] == w[i]).
+    """
     plan = hadamard_plan(cfg.n, cfg.ML, cfg.op_seed, cfg.col_signs)
     N, n, ML = plan.N, plan.n, plan.ML
-    rows = jnp.asarray(plan.rows, dtype=jnp.int32)
+    rows_rev = jnp.asarray(rev_indices(plan.rows, N), dtype=jnp.int32)
     signs = (jnp.asarray(plan.signs, dtype=jnp.float32)
              if plan.signs is not None else None)
     inv_sqrt_n = 1.0 / math.sqrt(n)
-    fwht = fwht_pallas if use_pallas else fwht_mxu
+    prec = cfg.transform_precision
 
-    def Ax(beta):  # (B, ML) -> (B, n)
-        if signs is not None:
-            beta = beta * signs
-        u = beta if ML == N else jnp.pad(beta, ((0, 0), (0, N - ML)))
-        w = fwht(u)
-        return jnp.take(w, rows, axis=-1) * inv_sqrt_n
+    if use_pallas:
+        def Ax(beta):
+            if signs is not None:
+                beta = beta * signs
+            u = beta if ML == N else jnp.pad(beta, ((0, 0), (0, N - ML)))
+            w = fwht_pallas(u)
+            rows = jnp.asarray(plan.rows, dtype=jnp.int32)
+            return jnp.take(w, rows, axis=-1) * inv_sqrt_n
 
-    def Ay(z):  # (B, n) -> (B, ML)
-        u = jnp.zeros(z.shape[:-1] + (N,), dtype=z.dtype)
-        u = u.at[..., rows].set(z)
-        w = fwht(u)
-        s = w[..., :ML] * inv_sqrt_n
-        return s * signs if signs is not None else s
+        def Ay(z):
+            rows = jnp.asarray(plan.rows, dtype=jnp.int32)
+            u = jnp.zeros(z.shape[:-1] + (N,), dtype=z.dtype)
+            u = u.at[..., rows].set(z)
+            w = fwht_pallas(u)
+            s = w[..., :ML] * inv_sqrt_n
+            return s * signs if signs is not None else s
+    elif cfg.fwht_scheme == "mxu":
+        rows_nat = jnp.asarray(plan.rows, dtype=jnp.int32)
+
+        def Ax(beta):
+            if signs is not None:
+                beta = beta * signs
+            u = beta if ML == N else jnp.pad(beta, ((0, 0), (0, N - ML)))
+            w = fwht_mxu(u, precision=prec)
+            return jnp.take(w, rows_nat, axis=-1) * inv_sqrt_n
+
+        def Ay(z):
+            u = jnp.zeros(z.shape[:-1] + (N,), dtype=z.dtype)
+            u = u.at[..., rows_nat].set(z)
+            w = fwht_mxu(u, precision=prec)
+            s = w[..., :ML] * inv_sqrt_n
+            return s * signs if signs is not None else s
+    else:
+        def Ax(beta):  # (B, ML) -> (B, n)
+            if signs is not None:
+                beta = beta * signs
+            u = beta if ML == N else jnp.pad(beta, ((0, 0), (0, N - ML)))
+            w_rev = fwht_to_rev(u, precision=prec)
+            return jnp.take(w_rev, rows_rev, axis=-1) * inv_sqrt_n
+
+        def Ay(z):  # (B, n) -> (B, ML)
+            u = jnp.zeros(z.shape[:-1] + (N,), dtype=z.dtype)
+            u = u.at[..., rows_rev].set(z)
+            w = fwht_from_rev(u, precision=prec)
+            s = w[..., :ML] * inv_sqrt_n
+            return s * signs if signs is not None else s
 
     return BatchedOperator(Ax=Ax, Ay=Ay, n=n, ML=ML, N=N)
 

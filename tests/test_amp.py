@@ -38,11 +38,13 @@ def test_amp_trajectory_parity_vs_oracle(kind, rng):
     tau_o = ores.tau2_trace
     T = min(len(tau_o), len(tau_j))
     np.testing.assert_allclose(tau_j[:T], tau_o[:T], rtol=2e-3)
-    s_j = np.asarray(jres.s[0]).reshape(-1)
-    np.testing.assert_allclose(s_j, ores.s, rtol=5e-3, atol=5e-3)
+    # posteriors match (the s statistic itself is not materialized on the
+    # TPU path — posteriors/scores/beta are its sufficient equivalents)
+    np.testing.assert_allclose(np.asarray(jres.posteriors[0]),
+                               ores.posteriors, rtol=5e-3, atol=1e-5)
     # identical hard decisions
     np.testing.assert_array_equal(
-        np.asarray(hard_indices(jres.s)[0]),
+        np.asarray(hard_indices(jres.beta)[0]),
         osparc.hard_decision(ores.s, cfg.L, cfg.M))
 
 
@@ -78,8 +80,8 @@ def test_early_stop_masking():
     y = m_tol.encode(bits) + noise * np.sqrt(m_tol.sigma2)
     r_tol = m_tol.decode(y)
     r_fix = m_fix.decode(y)
-    np.testing.assert_array_equal(np.asarray(hard_indices(r_tol.s)),
-                                  np.asarray(hard_indices(r_fix.s)))
+    np.testing.assert_array_equal(np.asarray(hard_indices(r_tol.beta)),
+                                  np.asarray(hard_indices(r_fix.beta)))
     assert int(jnp.max(r_tol.iters)) <= cfg.amp_iters
     assert int(jnp.min(r_tol.iters)) < cfg.amp_iters  # actually stopped early
 

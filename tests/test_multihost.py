@@ -1,0 +1,59 @@
+"""Multi-host smoke: 2 local processes + jax.distributed on localhost
+(SURVEY.md §4.4 'Multi-host logic tested with multiple local processes').
+
+Asserts the 2-process global-mesh counters equal a single-process run with
+the same key tree (the multi-host determinism contract).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_counters_match_single():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "scripts", "multihost_worker.py")
+    port = _free_port()
+
+    def env_for(pid, nproc):
+        env = dict(os.environ)
+        env.update(SPARC_COORD=f"localhost:{port}", SPARC_NPROC=str(nproc),
+                   SPARC_PROC_ID=str(pid))
+        # one CPU device per process; disarm the axon sitecustomize
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        return env
+
+    procs = [subprocess.Popen([sys.executable, worker],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, env=env_for(pid, 2))
+             for pid in range(2)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{se[-2000:]}"
+    two_proc = json.loads(outs[0][0].strip().splitlines()[-1])
+
+    # single process, same key tree
+    port2 = _free_port()
+    env = env_for(0, 1)
+    env["SPARC_COORD"] = f"localhost:{port2}"
+    r = subprocess.run([sys.executable, worker], capture_output=True,
+                       text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    one_proc = json.loads(r.stdout.strip().splitlines()[-1])
+
+    assert two_proc == one_proc

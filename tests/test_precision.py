@@ -1,0 +1,49 @@
+"""Transform-precision validation (SURVEY.md §7 hard-part 2 numerics).
+
+The bf16 fast-transform path halves HBM traffic on TPU; these tests pin down
+that the induced quantization noise is far below channel noise: identical
+hard decisions and tau trajectories within 1% on a realistic decode.
+(On CPU the precision argument is a no-op for f32, but the bf16 path really
+does round through bfloat16, so this test is meaningful in CI.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sparc_ldpc_tpu.config import SparcConfig
+from sparc_ldpc_tpu.models.amp import hard_indices
+from sparc_ldpc_tpu.models.sparc import SparcModel
+from sparc_ldpc_tpu.ops.fwht import fwht_mxu
+from sparc_ldpc_tpu.oracle.fwht import fwht_np
+
+
+def test_bf16_fwht_error_small(rng):
+    N = 1 << 14
+    x = rng.standard_normal((2, N)).astype(np.float32)
+    want = fwht_np(x.astype(np.float64))
+    got = np.asarray(fwht_mxu(jnp.asarray(x), precision="bf16"))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 5e-3, rel
+
+
+def test_bf16_decode_matches_f32_decisions():
+    cfg32 = SparcConfig(L=64, M=128, R=1.0, op_kind="hadamard",
+                        amp_iters=16, transform_precision="high")
+    cfgbf = cfg32.replace(transform_precision="bf16")
+    m32 = SparcModel.build(cfg32, ebno_db=5.0)
+    mbf = SparcModel.build(cfgbf, ebno_db=5.0)
+    key = jax.random.key(9)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (4, cfg32.n))
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                (4, cfg32.k_bits)).astype(jnp.int32)
+    y = m32.encode(bits) + noise * np.sqrt(m32.sigma2)
+    r32 = m32.decode(y)
+    rbf = mbf.decode(y)
+    np.testing.assert_array_equal(np.asarray(hard_indices(r32.beta)),
+                                  np.asarray(hard_indices(rbf.beta)))
+    tau32 = np.asarray(r32.tau2_trace)
+    taubf = np.asarray(rbf.tau2_trace)
+    np.testing.assert_allclose(taubf, tau32, rtol=2e-2)
