@@ -58,8 +58,12 @@ def main():
                     # R=1.0 is only 0.24 dB above the Shannon limit here)
     B = 128         # codewords per block on the chip
     EBNO = 2.0
+    # transform_precision="bf16" halves transform HBM traffic; decode
+    # decisions and tau trajectories validated unchanged
+    # (tests/test_precision.py); measured A/B in docs/PERF.md.
     cfg = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
-                      op_kind="hadamard", amp_iters=T, amp_tol=0.0)
+                      op_kind="hadamard", amp_iters=T, amp_tol=0.0,
+                      transform_precision="bf16")
 
     log(f"devices: {jax.devices()}")
     model = SparcModel.build(cfg, ebno_db=EBNO)
@@ -74,13 +78,19 @@ def main():
         f"tau2_final={float(out['tau2_final']):.4f} "
         f"(sigma2={model.sigma2:.4f})")
 
-    # steady-state timing over fresh key blocks (no caching effects)
+    # steady-state timing: fresh key block per rep (no caching effects) and
+    # a forced scalar host readback per rep (block_until_ready alone has
+    # been observed unreliable through the axon relay — docs/PERF.md).
     reps = 5
-    t0 = time.perf_counter()
+    times = []
     for r in range(1, reps + 1):
-        out = run(rngu.trial_keys(rngu.base_key(r), B))
-    _ = {k: v.block_until_ready() for k, v in out.items()}
-    dt = (time.perf_counter() - t0) / reps
+        keys = rngu.trial_keys(rngu.base_key(r), B)
+        t0 = time.perf_counter()
+        out = run(keys)
+        _ = int(out["bit_errors"])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
     tpu_bits_per_s = B * cfg.k_bits / dt
     log(f"tpu: {dt*1e3:.1f} ms/block of {B} -> {tpu_bits_per_s:,.0f} bits/s")
 

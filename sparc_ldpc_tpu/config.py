@@ -76,7 +76,16 @@ class SparcConfig:
     amp_tol: float = 1e-6
     tau_mode: str = "online"
     transform_precision: str = "high"
-    fwht_scheme: str = "rev"   # "rev" (transpose-free) | "mxu" (moveaxis)
+    # "mxu" (moveaxis between mode contractions) measured FASTER than the
+    # transpose-free "rev" scheme on v5e (422 vs 461 ms/block at bf16 —
+    # docs/PERF.md A/B table): XLA fuses the transposes into the dots better
+    # than the penultimate-dim contraction form lowers.  Keep both.
+    fwht_scheme: str = "mxu"   # "mxu" | "rev"
+    # Residual domain for AMP with fast-transform operators.  "N" keeps z in
+    # the transform domain (no gather/scatter) but carries a (B, N) state
+    # through the early-stop freeze mask — measured SLOWER on v5e (469 vs
+    # 422 ms/block, docs/PERF.md); "n" is the default.
+    amp_residual_space: str = "n"   # "n" | "N"
 
     def __post_init__(self):
         if not _is_pow2(self.M):
@@ -91,6 +100,11 @@ class SparcConfig:
                                             "bf16"):
             raise ValueError(
                 f"unknown transform_precision {self.transform_precision!r}")
+        if self.fwht_scheme not in ("mxu", "rev"):
+            raise ValueError(f"unknown fwht_scheme {self.fwht_scheme!r}")
+        if self.amp_residual_space not in ("n", "N"):
+            raise ValueError(
+                f"unknown amp_residual_space {self.amp_residual_space!r}")
 
     @property
     def logM(self) -> int:

@@ -158,18 +158,21 @@ def regular_code_H(n: int, dv: int, dc: int, seed: int = 0) -> np.ndarray:
 
 
 def load_alist(path: str) -> np.ndarray:
-    """Standard alist format -> dense uint8 H."""
+    """Standard alist format -> dense uint8 H.
+
+    Handles both padded (every column line carries max_dv entries, zeros as
+    filler — the MacKay convention) and unpadded per-line variants by
+    parsing line-wise rather than as a flat token stream.
+    """
     with open(path) as f:
-        tok = f.read().split()
-    it = iter(tok)
-    n = int(next(it)); m = int(next(it))
-    next(it); next(it)                      # max degrees
-    vdeg = [int(next(it)) for _ in range(n)]
-    [int(next(it)) for _ in range(m)]       # check degrees
+        lines = [ln.split() for ln in f if ln.strip()]
+    n, m = int(lines[0][0]), int(lines[0][1])
     H = np.zeros((m, n), dtype=np.uint8)
-    for v in range(n):
-        for _ in range(vdeg[v]):
-            c = int(next(it))
+    # lines[1] = max degrees, lines[2] = per-col degs, lines[3] = per-row degs
+    col_lines = lines[4:4 + n]
+    for v, toks in enumerate(col_lines):
+        for t in toks:
+            c = int(t)
             if c > 0:
                 H[c - 1, v] = 1
     return H

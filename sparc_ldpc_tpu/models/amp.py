@@ -57,6 +57,7 @@ def amp_decode(
     pinned_mask: Optional[jax.Array] = None,     # (B, L) bool
     use_pallas_denoiser: bool = False,
     policy=None,                                 # parallel.mesh.ShardingPolicy
+    residual_space: str = "n",
 ) -> AmpResult:
     B = y.shape[0]
     L = sq_npl.shape[0]
@@ -73,17 +74,30 @@ def amp_decode(
         m = pinned_mask[:, :, None]
         return jnp.where(m, sq_npl[None, :, None] * pinned_onehot, beta3)
 
+    # N-space residual path (BatchedOperator docstring): fast-transform
+    # operators keep z in the length-N transform domain, which removes the
+    # per-iteration row gather/scatter.  Mathematically identical (off-row
+    # entries are exactly zero).
+    n_space = op.embed_y is not None and residual_space == "N"
+    yN = op.embed_y(y) if n_space else None
+
     def step(state, t):
         beta, z, tau2_prev, done, iters = state
         beta = c_bml(beta)
         bnorm2 = jnp.sum(beta * beta, axis=-1)     # psum over section shards
         coef = (P - bnorm2 / n) / tau2_prev                     # 0 at t=0 (inf)
-        z_new = c_bn(y - op.Ax(beta) + z * coef[:, None])
+        if n_space:
+            # zN is section-shardable like beta (same coefficient layout),
+            # so section sharding needs no residual all-gather at all.
+            z_new = c_bml(op.resid_n(yN, beta, z, coef[:, None]))
+        else:
+            z_new = c_bn(y - op.Ax(beta) + z * coef[:, None])
         if tau2_schedule is None:
             tau2 = jnp.sum(z_new * z_new, axis=-1) / n          # (B,)
         else:
             tau2 = jnp.full((B,), tau2_schedule[t], dtype=y.dtype)
-        s_new = c_blm((beta + op.Ay(z_new)).reshape(B, L, M))
+        adj = op.adj_n(z_new) if n_space else op.Ay(z_new)
+        s_new = c_blm((beta + adj).reshape(B, L, M))
         beta3, _ = dn(s_new, tau2, sq_npl)
         beta3 = apply_pin(beta3)
         conv = jnp.abs(tau2 - tau2_prev) < tol * tau2
@@ -100,7 +114,7 @@ def amp_decode(
         return out, jnp.where(keep, tau2_prev, tau2)
 
     beta0 = jnp.zeros((B, ML), dtype=y.dtype)
-    z0 = jnp.zeros_like(y)
+    z0 = jnp.zeros((B, op.N) if n_space else y.shape, dtype=y.dtype)
     tau20 = jnp.full((B,), jnp.inf, dtype=y.dtype)
     done0 = jnp.zeros((B,), dtype=bool)
     it0 = jnp.zeros((B,), dtype=jnp.int32)

@@ -91,6 +91,7 @@ class SparcModel:
             T=T or self.cfg.amp_iters, tol=self.cfg.amp_tol,
             tau2_schedule=self.tau2_schedule,
             use_pallas_denoiser=self.use_pallas, policy=self.policy,
+            residual_space=self.cfg.amp_residual_space,
             **amp_kw)
 
     def decode_bits(self, y: jax.Array) -> jax.Array:

@@ -38,8 +38,13 @@ def denoise(s: jax.Array, tau2: jax.Array, sq_npl: jax.Array
 
 
 def _denoise_kernel(s_ref, tau2_ref, sq_ref, beta_ref, post_ref):
-    """Pallas kernel: one (1, L_tile, M) block per program."""
-    tau2 = tau2_ref[0]
+    """Pallas kernel: one (1, L_tile, M) block per program.
+
+    tau2_ref holds the full (B, 1) scalar array in SMEM (Mosaic rejects
+    sub-tile 2D blocks); each program picks its batch row by program_id.
+    """
+    from jax.experimental import pallas as pl
+    tau2 = tau2_ref[pl.program_id(0), 0]
     sq = sq_ref[:]                              # (L_tile, 1)
     a = sq * s_ref[0] / tau2                    # (L_tile, M)
     a = a - jnp.max(a, axis=-1, keepdims=True)
@@ -64,6 +69,7 @@ def denoise_pallas(s: jax.Array, tau2: jax.Array, sq_npl: jax.Array,
     if L % l_tile:
         return denoise(s, tau2, sq_npl)
     sq2d = sq_npl.reshape(L, 1)
+    tau2d = tau2.reshape(B, 1)        # SMEM scalars must be 2D (1,1) blocks
     grid = (B, L // l_tile)
     kwargs = dict(
         out_shape=(jax.ShapeDtypeStruct((B, L, M), s.dtype),
@@ -72,7 +78,7 @@ def denoise_pallas(s: jax.Array, tau2: jax.Array, sq_npl: jax.Array,
         in_specs=[
             pl.BlockSpec((1, l_tile, M), lambda b, l: (b, l, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda b, l: (b,),
+            pl.BlockSpec((B, 1), lambda b, l: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((l_tile, 1), lambda b, l: (l, 0),
                          memory_space=pltpu.VMEM),
@@ -85,5 +91,5 @@ def denoise_pallas(s: jax.Array, tau2: jax.Array, sq_npl: jax.Array,
         ),
         interpret=interpret,
     )
-    beta, post = pl.pallas_call(_denoise_kernel, **kwargs)(s, tau2, sq2d)
+    beta, post = pl.pallas_call(_denoise_kernel, **kwargs)(s, tau2d, sq2d)
     return beta, post

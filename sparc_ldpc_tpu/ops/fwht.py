@@ -268,62 +268,55 @@ def fwht_butterfly(x: jax.Array) -> jax.Array:
 
 # ------------------------------------------------------------ Pallas kernel
 
-def _fwht3_kernel(x_ref, o_ref, h1_ref, h2_ref, h3_ref):
-    """Fused 3-factor FWHT for one batch tile, entirely in VMEM.
+def _fwht2_kernel(x_ref, h1_ref, h2_ref, o_ref):
+    """Fused 2-factor FWHT for one codeword, entirely in VMEM.
 
-    Block layout: x_ref is (1, f1, f2, f3).  Contractions run back-to-front;
-    dot_general output-dimension order is tracked so only one final transpose
-    is needed (modes end reversed, (f3', f2', f1') -> transpose -> natural).
+    x_ref block (1, f1, f2); result natural order:
+        Y = X H2   (contract i2),   Z = H1 Y   (contract i1).
+    Two large 2D matmuls — MXU-shaped, no 3D dot_general (the axon Mosaic
+    rejects the batched-3D form), no loops.
     """
-    f1, f2, f3 = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     X = x_ref[0]
-    # mode-3: batch (f1,f2), contract f3 -> (f1, f2, f3)
-    X = jax.lax.dot_general(X, h3_ref[:], (((2,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    # mode-2: contract axis 1 -> output (f1, f3, f2)
-    X = jax.lax.dot_general(X, h2_ref[:], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    # mode-1: contract axis 0 -> output (f3, f2, f1)
-    X = jax.lax.dot_general(X, h1_ref[:], (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o_ref[0] = jnp.transpose(X, (2, 1, 0))
+    Y = jnp.dot(X, h2_ref[:], preferred_element_type=jnp.float32)
+    Z = jnp.dot(h1_ref[:], Y, preferred_element_type=jnp.float32)
+    o_ref[0] = Z.astype(o_ref.dtype)
 
 
-def fwht_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
+def fwht_pallas(x: jax.Array, interpret: bool = False,
+                bf16: bool = False) -> jax.Array:
     """Pallas fused FWHT: one HBM read + one write per codeword.
 
-    Requires the per-codeword tensor (N floats) to fit VMEM alongside a
-    scratch copy — practical up to N = 2^20 in f32.  Grid over the batch
-    axis.  Falls back to fwht_mxu for shapes it does not support
-    (SURVEY.md §7 hard-part 6: interpret=True keeps a CPU CI path).
+    Uses a balanced 2-factor split (f1, f2 <= 1024), so it supports
+    N <= 2^20 with VMEM budget X + H1 + H2 + scratch < 16 MB.  Grid over
+    the batch axis.  Falls back to fwht_mxu for larger N (SURVEY.md §7
+    hard-part 6: interpret=True keeps a CPU CI path).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
     N = x.shape[-1]
-    fs = factorize_pow2(N, max_log=8)
-    if len(fs) != 3 or N > (1 << 20) or min(fs) < 8:
-        return fwht_mxu(x)
-    f1, f2, f3 = fs
+    fs = factorize_pow2(N, max_log=10)
+    if len(fs) != 2 or min(fs) < 8:
+        return fwht_mxu(x, precision="bf16" if bf16 else "high")
+    f1, f2 = fs
     lead = x.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
-    xr = x.reshape(B, f1, f2, f3)
-    h1 = hadamard_factor(f1, x.dtype)
-    h2 = hadamard_factor(f2, x.dtype)
-    h3 = hadamard_factor(f3, x.dtype)
+    dt = jnp.bfloat16 if bf16 else x.dtype
+    xr = x.reshape(B, f1, f2).astype(dt)
+    h1 = hadamard_factor(f1, dt)
+    h2 = hadamard_factor(f2, dt)
     out = pl.pallas_call(
-        _fwht3_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, f1, f2, f3), x.dtype),
+        _fwht2_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, f1, f2), x.dtype),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, f1, f2, f3), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, f1, f2), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f1, f1), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((f2, f2), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((f3, f3), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, f1, f2, f3), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, f1, f2), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xr, h1, h2, h3)
+    )(xr, h1, h2)
     return out.reshape(lead + (N,))

@@ -35,12 +35,26 @@ from .fwht import fwht_from_rev, fwht_mxu, fwht_pallas, fwht_to_rev, rev_indices
 
 
 class BatchedOperator(NamedTuple):
-    """Forward/adjoint pair plus static geometry."""
+    """Forward/adjoint pair plus static geometry.
+
+    Optional N-space members (fast-transform operators only): keeping the
+    AMP residual in the length-N transform domain replaces the per-iteration
+    row gather (forward) and scatter (adjoint embed) with a single fused
+    0/1-mask multiply — the adjoint's input simply *is* the masked residual.
+      embed_y:   (B, n) -> (B, N)   one-time scatter of y before the loop
+      resid_n:   (yN, beta, zN, coef) -> zN'   mask*(yN - A_full beta) + coef*zN
+      adj_n:     (B, N) -> (B, ML)  adjoint straight from the N-space residual
+    ||zN||^2 == ||z||^2 (off-row entries are zero), so tau tracking is
+    unchanged.  amp_decode uses these when present.
+    """
     Ax: Callable[[jax.Array], jax.Array]
     Ay: Callable[[jax.Array], jax.Array]
     n: int
     ML: int
     N: int
+    embed_y: Optional[Callable[[jax.Array], jax.Array]] = None
+    resid_n: Optional[Callable] = None
+    adj_n: Optional[Callable[[jax.Array], jax.Array]] = None
 
 
 def dense_operator(cfg: SparcConfig) -> BatchedOperator:
@@ -99,6 +113,9 @@ def hadamard_operator(cfg: SparcConfig, use_pallas: bool = False) -> BatchedOper
             return s * signs if signs is not None else s
     elif cfg.fwht_scheme == "mxu":
         rows_nat = jnp.asarray(plan.rows, dtype=jnp.int32)
+        mask_np = np.zeros(N, dtype=np.float32)
+        mask_np[plan.rows] = 1.0
+        mask = jnp.asarray(mask_np)
 
         def Ax(beta):
             if signs is not None:
@@ -113,6 +130,27 @@ def hadamard_operator(cfg: SparcConfig, use_pallas: bool = False) -> BatchedOper
             w = fwht_mxu(u, precision=prec)
             s = w[..., :ML] * inv_sqrt_n
             return s * signs if signs is not None else s
+
+        # ---- N-space members (see BatchedOperator docstring) ----
+
+        def embed_y(y):
+            u = jnp.zeros(y.shape[:-1] + (N,), dtype=y.dtype)
+            return u.at[..., rows_nat].set(y)
+
+        def resid_n(yN, beta, zN, coef):
+            if signs is not None:
+                beta = beta * signs
+            u = beta if ML == N else jnp.pad(beta, ((0, 0), (0, N - ML)))
+            w = fwht_mxu(u, precision=prec)
+            return mask * (yN - w * inv_sqrt_n) + zN * coef
+
+        def adj_n(zN):
+            w = fwht_mxu(zN, precision=prec)
+            s = w[..., :ML] * inv_sqrt_n
+            return s * signs if signs is not None else s
+
+        return BatchedOperator(Ax=Ax, Ay=Ay, n=n, ML=ML, N=N,
+                               embed_y=embed_y, resid_n=resid_n, adj_n=adj_n)
     else:
         def Ax(beta):  # (B, ML) -> (B, n)
             if signs is not None:

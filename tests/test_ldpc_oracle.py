@@ -64,3 +64,51 @@ def test_bp_corrects_channel_noise(code, method):
     assert np.sum((llr < 0) != c.astype(bool)) > 0
     hard, _, _ = bp_decode(llr, code, iters=64, method=method)
     assert np.array_equal(hard, c)
+
+
+def test_alist_roundtrip(tmp_path):
+    """alist writer/loader roundtrip (SURVEY.md §2 #16 'alist loading')."""
+    import numpy as np
+    from sparc_ldpc_tpu.design.ldpc_codes import load_alist, array_code_H
+
+    H = array_code_H(3, 12, 13)
+    m, n = H.shape
+    # write standard alist: n m / maxdv maxdc / per-col degs / per-row degs /
+    # then per-column 1-based row indices (padded with 0), per-row col indices
+    dv = H.sum(axis=0); dc = H.sum(axis=1)
+    lines = [f"{n} {m}", f"{dv.max()} {dc.max()}",
+             " ".join(map(str, dv)), " ".join(map(str, dc))]
+    for v in range(n):
+        rows = (np.nonzero(H[:, v])[0] + 1).tolist()
+        lines.append(" ".join(map(str, rows + [0] * (int(dv.max()) - len(rows)))))
+    for c in range(m):
+        cols = (np.nonzero(H[c])[0] + 1).tolist()
+        lines.append(" ".join(map(str, cols + [0] * (int(dc.max()) - len(cols)))))
+    path = tmp_path / "code.alist"
+    path.write_text("\n".join(lines) + "\n")
+
+    H2 = load_alist(str(path))
+    np.testing.assert_array_equal(H2, H)
+
+
+def test_alist_irregular_padded(tmp_path):
+    """Padded alist lines with an irregular code parse correctly."""
+    import numpy as np
+    from sparc_ldpc_tpu.design.ldpc_codes import load_alist
+
+    H = np.array([[1, 1, 0, 1, 0, 0],
+                  [0, 1, 1, 0, 1, 0],
+                  [1, 0, 1, 0, 0, 1]], dtype=np.uint8)
+    m, n = H.shape
+    dv = H.sum(axis=0); dc = H.sum(axis=1)
+    lines = [f"{n} {m}", f"{dv.max()} {dc.max()}",
+             " ".join(map(str, dv)), " ".join(map(str, dc))]
+    for v in range(n):
+        rows = (np.nonzero(H[:, v])[0] + 1).tolist()
+        lines.append(" ".join(map(str, rows + [0] * (int(dv.max()) - len(rows)))))
+    for c in range(m):
+        cols = (np.nonzero(H[c])[0] + 1).tolist()
+        lines.append(" ".join(map(str, cols + [0] * (int(dc.max()) - len(cols)))))
+    path = tmp_path / "irr.alist"
+    path.write_text("\n".join(lines) + "\n")
+    np.testing.assert_array_equal(load_alist(str(path)), H)

@@ -47,3 +47,22 @@ def test_bf16_decode_matches_f32_decisions():
     tau32 = np.asarray(r32.tau2_trace)
     taubf = np.asarray(rbf.tau2_trace)
     np.testing.assert_allclose(taubf, tau32, rtol=2e-2)
+
+
+def test_nspace_residual_matches_nspace():
+    """amp_residual_space='N' must reproduce the classic path exactly (the
+    off-row entries are zeros; only f32 association order differs)."""
+    base = SparcConfig(L=64, M=128, R=1.0, op_kind="hadamard", amp_iters=16,
+                      amp_tol=0.0)
+    m_n = SparcModel.build(base, ebno_db=5.0)
+    m_N = SparcModel.build(base.replace(amp_residual_space="N"), ebno_db=5.0)
+    key = jax.random.key(4)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (3, base.n))
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                (3, base.k_bits)).astype(jnp.int32)
+    y = m_n.encode(bits) + noise * np.sqrt(m_n.sigma2)
+    r_n, r_N = m_n.decode(y), m_N.decode(y)
+    np.testing.assert_array_equal(np.asarray(hard_indices(r_n.beta)),
+                                  np.asarray(hard_indices(r_N.beta)))
+    np.testing.assert_allclose(np.asarray(r_N.tau2_trace),
+                               np.asarray(r_n.tau2_trace), rtol=1e-4)
