@@ -58,12 +58,13 @@ def main():
                     # R=1.0 is only 0.24 dB above the Shannon limit here)
     B = 128         # codewords per block on the chip
     EBNO = 2.0
-    # transform_precision="bf16" halves transform HBM traffic; decode
-    # decisions and tau trajectories validated unchanged
-    # (tests/test_precision.py); measured A/B in docs/PERF.md.
+    # amp_kernel="fused": whole-AMP Pallas mega-kernel — all T iterations
+    # per codeword in VMEM (ops/amp_kernel.py).  4x the best XLA path
+    # (105.8 vs 422 ms/block) at identical decode quality; parity tests in
+    # tests/test_precision.py, A/B history in docs/PERF.md.
     cfg = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                       op_kind="hadamard", amp_iters=T, amp_tol=0.0,
-                      transform_precision="bf16")
+                      transform_precision="bf16", amp_kernel="fused")
 
     log(f"devices: {jax.devices()}")
     model = SparcModel.build(cfg, ebno_db=EBNO)

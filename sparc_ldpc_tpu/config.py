@@ -86,6 +86,12 @@ class SparcConfig:
     # through the early-stop freeze mask — measured SLOWER on v5e (469 vs
     # 422 ms/block, docs/PERF.md); "n" is the default.
     amp_residual_space: str = "n"   # "n" | "N"
+    # "fused" runs the whole-AMP Pallas mega-kernel (all T iterations per
+    # codeword in VMEM, ops/amp_kernel.py) when the operator is eligible
+    # (ML == N, L,M <= 1024, online tau, no pinning); falls back to the XLA
+    # scan otherwise.  Fixed-T semantics: pair with amp_tol=0 for trace
+    # reproducibility.
+    amp_kernel: str = "xla"         # "xla" | "fused"
 
     def __post_init__(self):
         if not _is_pow2(self.M):
@@ -105,6 +111,8 @@ class SparcConfig:
         if self.amp_residual_space not in ("n", "N"):
             raise ValueError(
                 f"unknown amp_residual_space {self.amp_residual_space!r}")
+        if self.amp_kernel not in ("xla", "fused"):
+            raise ValueError(f"unknown amp_kernel {self.amp_kernel!r}")
 
     @property
     def logM(self) -> int:

@@ -58,11 +58,31 @@ def amp_decode(
     use_pallas_denoiser: bool = False,
     policy=None,                                 # parallel.mesh.ShardingPolicy
     residual_space: str = "n",
+    fused: bool = False,
+    fused_interpret: bool = False,
 ) -> AmpResult:
     B = y.shape[0]
     L = sq_npl.shape[0]
     ML = op.ML
     M = ML // L
+
+    # Fused whole-AMP Pallas kernel (ops.amp_kernel): all T iterations per
+    # codeword in VMEM.  Guards: eligible operator, single-chip (no policy),
+    # online tau, no pinning, MXU-sized factors.
+    if (fused and op.mask is not None and policy is None
+            and tau2_schedule is None and pinned_mask is None
+            and L <= 1024 and M <= 1024):
+        from ..ops.amp_kernel import amp_fused
+
+        y_n = op.embed_y(y).reshape(B, L, M)
+        mask2d = op.mask.reshape(L, M)
+        beta3, trace = amp_fused(y_n, mask2d, sq_npl, P, n, T,
+                                 interpret=fused_interpret)
+        post = beta3 / sq_npl[None, :, None]
+        scores = jnp.log(jnp.maximum(post, jnp.finfo(y.dtype).tiny))
+        return AmpResult(beta=beta3, posteriors=post, scores=scores,
+                         tau2_trace=trace,
+                         iters=jnp.full((B,), T, dtype=jnp.int32))
     dn = denoise_pallas if use_pallas_denoiser else denoise
     c_bml = policy.constrain_bml if policy is not None else (lambda x: x)
     c_blm = policy.constrain_blm if policy is not None else (lambda x: x)

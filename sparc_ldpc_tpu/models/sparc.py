@@ -92,6 +92,7 @@ class SparcModel:
             tau2_schedule=self.tau2_schedule,
             use_pallas_denoiser=self.use_pallas, policy=self.policy,
             residual_space=self.cfg.amp_residual_space,
+            fused=self.cfg.amp_kernel == "fused",
             **amp_kw)
 
     def decode_bits(self, y: jax.Array) -> jax.Array:

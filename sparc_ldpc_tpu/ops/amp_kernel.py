@@ -1,0 +1,153 @@
+"""Fused whole-AMP Pallas mega-kernel (SURVEY.md §7 M2 'speed-of-light').
+
+The decisive observation: with the 2-factor Kronecker split N = L * M and
+ML == N, the transform tile IS the denoiser tile —
+
+    u = beta viewed as the (L, M) section matrix,
+    FWHT(u) = H_L @ u @ H_M            (two MXU matmuls),
+    denoiser = rowwise softmax on the same (L, M) tile.
+
+So one Pallas program can hold a codeword's ENTIRE AMP state in VMEM and run
+all T iterations with zero HBM round-trips: per codeword it reads y_N + the
+mask once (~4 MB) and writes beta once, where the XLA path moves ~20 MB per
+iteration per codeword.  The residual is kept in N-space (z_N = mask * (y_N
+- A_full beta) + onsager), which in-kernel costs nothing extra and removes
+the row gather/scatter entirely.
+
+VMEM budget at (L, M) = (1024, 512), f32 state + bf16 Hadamard factors:
+beta 2 + z 2 + y 2 + scratch 2 + H_L 2 + H_M 0.5 + mask 2 < 13 MB.
+
+Scope guards (amp_decode falls back to the XLA path otherwise):
+  ML == N, L <= 1024, M <= 1024, online tau, no pinning, fixed T (tol
+  semantics: the kernel runs all T iterations; use amp_tol=0 for bitwise
+  reproducibility of the trace).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fwht import hadamard_factor
+
+
+def _mm(a, b):
+    """bf16 multiply, f32 accumulate (Hadamard entries are exact in bf16).
+
+    b (the Hadamard factor) is already bf16; only the data operand is cast.
+    """
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b,
+        (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
+                y_ref, mask_ref, hl_ref, hm_ref, sq_ref,
+                beta_ref, trace_ref,
+                z_scr, b_scr):
+    """One codeword's full AMP run; grid = (B,).
+
+    Refs: y (1, L, M) N-space embedded observation; mask (L, M) 0/1 row
+    support; hl (L, L), hm (M, M) Hadamard factors; sq (L, 1) sqrt(n P_l).
+    Outputs: beta (1, L, M); trace (1, 8, 128) padded tau2 trace.
+    Scratch: z (L, M) N-space residual, b (L, M) beta state, both f32.
+    """
+    L, M = b_scr.shape
+    # NOTE: y_ref is aliased with beta_ref (input_output_aliases) to halve
+    # the double-buffered block footprint; copy y into VMEM-scratch-free
+    # registers is not possible, so we read it from the shared buffer all
+    # loop long and only overwrite it at the very end.
+    mask = mask_ref[:].astype(jnp.float32)
+    sq = sq_ref[:]
+
+    b_scr[:] = jnp.zeros((L, M), jnp.float32)
+    z_scr[:] = jnp.zeros((L, M), jnp.float32)
+    trace_ref[0] = jnp.zeros(trace_ref.shape[1:], jnp.float32)
+
+    def body(t, tau2_prev):
+        beta = b_scr[:]
+        z = z_scr[:]
+        bnorm2 = jnp.sum(beta * beta)
+        coef = jnp.where(t == 0, 0.0, (P - bnorm2 / n) / tau2_prev)
+        # forward transform: W = (H_L @ (beta @ H_M)) / sqrt(n)
+        w = _mm(hl_ref[:], _mm(beta, hm_ref[:])) * inv_sqrt_n
+        z = mask * (y_ref[0] - w) + coef * z
+        z_scr[:] = z
+        tau2 = jnp.sum(z * z) / n
+        # adjoint (self-adjoint transform, same tile)
+        s = _mm(hl_ref[:], _mm(z, hm_ref[:])) * inv_sqrt_n + beta
+        a = sq * s / tau2
+        a = a - jnp.max(a, axis=1, keepdims=True)
+        e = jnp.exp(a)
+        b_scr[:] = sq * (e / jnp.sum(e, axis=1, keepdims=True))
+        # Mosaic cannot store scalars to VMEM: write the tau2 trace as a
+        # masked RMW of the whole (8, 128) tile (4 KB, negligible).
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        hit = (r_ids * 128 + c_ids) == t
+        trace_ref[0] = jnp.where(hit, tau2, trace_ref[0])
+        return tau2
+
+    jax.lax.fori_loop(0, T, body, jnp.float32(jnp.inf))
+    beta_ref[0] = b_scr[:]
+
+
+def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
+              mask: jax.Array,         # (L, M)
+              sq_npl: jax.Array,       # (L,)
+              P: float, n: int, T: int,
+              interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Run the fused kernel: returns (beta (B, L, M), tau2_trace (T, B))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, M = y_n.shape
+    assert T <= 1024, "trace buffer holds 1024 iterations"
+    hl = hadamard_factor(L, jnp.bfloat16)
+    hm = hadamard_factor(M, jnp.bfloat16)
+    inv_sqrt_n = 1.0 / math.sqrt(n)
+    kernel = functools.partial(_amp_kernel, T, n, float(P), inv_sqrt_n)
+    beta, trace = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, L, M), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, M), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, L), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, M), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((L, M), jnp.float32),
+            pltpu.VMEM((L, M), jnp.float32),
+        ],
+        # alias y_n with the beta output: y is only read during the loop and
+        # beta is written after it, so sharing the (1, L, M) block halves the
+        # double-buffered VMEM footprint (was 512 KB over the 16 MB limit).
+        input_output_aliases={0: 0},
+        # the default scoped-vmem limit is 16 MB; the body's live set peaks
+        # at ~17 MB with double-buffered blocks + dot temporaries.  v5e has
+        # headroom above the default — raise the cap rather than splitting
+        # the tile (measured fine; revisit if a smaller-VMEM target appears).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(y_n, mask.astype(jnp.bfloat16), hl, hm, sq_npl.reshape(L, 1))
+    # unpack padded trace -> (T, B)
+    tr = trace.reshape(B, 8 * 128)[:, :T].T
+    return beta, tr

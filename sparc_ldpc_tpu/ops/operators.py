@@ -55,6 +55,10 @@ class BatchedOperator(NamedTuple):
     embed_y: Optional[Callable[[jax.Array], jax.Array]] = None
     resid_n: Optional[Callable] = None
     adj_n: Optional[Callable[[jax.Array], jax.Array]] = None
+    # (N,) 0/1 row-support mask; present only when the operator is eligible
+    # for the fused whole-AMP kernel (ML == N, no column signs) —
+    # ops.amp_kernel.amp_fused.
+    mask: Optional[jax.Array] = None
 
 
 def dense_operator(cfg: SparcConfig) -> BatchedOperator:
@@ -149,8 +153,10 @@ def hadamard_operator(cfg: SparcConfig, use_pallas: bool = False) -> BatchedOper
             s = w[..., :ML] * inv_sqrt_n
             return s * signs if signs is not None else s
 
-        return BatchedOperator(Ax=Ax, Ay=Ay, n=n, ML=ML, N=N,
-                               embed_y=embed_y, resid_n=resid_n, adj_n=adj_n)
+        return BatchedOperator(
+            Ax=Ax, Ay=Ay, n=n, ML=ML, N=N,
+            embed_y=embed_y, resid_n=resid_n, adj_n=adj_n,
+            mask=mask if (signs is None and ML == N) else None)
     else:
         def Ax(beta):  # (B, ML) -> (B, n)
             if signs is not None:

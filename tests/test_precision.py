@@ -66,3 +66,26 @@ def test_nspace_residual_matches_nspace():
                                   np.asarray(hard_indices(r_N.beta)))
     np.testing.assert_allclose(np.asarray(r_N.tau2_trace),
                                np.asarray(r_n.tau2_trace), rtol=1e-4)
+
+
+def test_fused_amp_kernel_matches_xla_interpret():
+    """ops/amp_kernel.py interpret-mode vs XLA scan: identical decisions,
+    tau trace within 1% (bf16 matmuls in both)."""
+    from sparc_ldpc_tpu.models.amp import amp_decode
+
+    cfg = SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=12,
+                      amp_tol=0.0, transform_precision="bf16")
+    m = SparcModel.build(cfg, ebno_db=5.0)
+    key = jax.random.key(2)
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                (3, cfg.k_bits)).astype(jnp.int32)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (3, cfg.n))
+    y = m.encode(bits) + noise * np.sqrt(m.sigma2)
+    r_xla = m.decode(y)
+    r_fus = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, T=cfg.amp_iters,
+                       tol=0.0, fused=True, fused_interpret=True)
+    np.testing.assert_array_equal(np.asarray(hard_indices(r_xla.beta)),
+                                  np.asarray(hard_indices(r_fus.beta)))
+    tx = np.asarray(r_xla.tau2_trace)
+    tf = np.asarray(r_fus.tau2_trace)
+    np.testing.assert_allclose(tf, tx, rtol=2e-2)
