@@ -56,6 +56,8 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="force the CPU backend (debug)")
     c.add_argument("--pallas", action="store_true",
                    help="use the Pallas kernel paths")
+    c.add_argument("--fused", action="store_true",
+                   help="use the fused whole-AMP mega-kernel (fixed-T)")
     c.add_argument("--profile", default=None,
                    help="jax.profiler trace output dir")
     c.add_argument("--distributed", action="store_true",
@@ -94,6 +96,14 @@ def cmd_campaign(args) -> int:
     from .parallel.mesh import ShardingPolicy, make_mesh
 
     cfg = _get_sparc_preset(args.preset)
+    if args.fused:
+        if isinstance(cfg, ConcatConfig):
+            cfg = cfg.replace(sparc=cfg.sparc.replace(
+                amp_kernel="fused", amp_tol=0.0,
+                transform_precision="bf16"))
+        else:
+            cfg = cfg.replace(amp_kernel="fused", amp_tol=0.0,
+                              transform_precision="bf16")
     grid = tuple(args.ebno) if args.ebno else (1.5, 2.0, 2.5, 3.0)
     ccfg = CampaignConfig(ebno_grid_db=grid, batch=args.batch,
                           min_frame_errors=args.min_frame_errors,
@@ -117,9 +127,10 @@ def cmd_campaign(args) -> int:
         def k_bits(m):
             return m.k_user
     else:
+        from .models.sparc import SparcSweep
+        sweep = SparcSweep(cfg, use_pallas=args.pallas, policy=policy)
         def model_for_point(e):
-            return SparcModel.build(cfg, e, use_pallas=args.pallas,
-                                    policy=policy)
+            return sweep.model_for_point(e)
         def k_bits(m):
             return m.cfg.k_bits
 

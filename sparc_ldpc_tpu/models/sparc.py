@@ -114,6 +114,15 @@ class SparcModel:
         """Same as run_trials but takes the (B,) per-trial key array —
         the campaign driver shards it over the 'data' mesh axis and jits
         this function (SURVEY.md §3.5)."""
+        return self.run_block_params(tkeys, self.sq_npl,
+                                     jnp.float32(math.sqrt(self.sigma2)))
+
+    def run_block_params(self, tkeys: jax.Array, sq_npl: jax.Array,
+                         sigma: jax.Array) -> Dict[str, jax.Array]:
+        """run_block with the per-operating-point device parameters as
+        ARGUMENTS instead of closure constants, so one jit compilation
+        serves every Eb/N0 point of a sweep (see SparcSweep; only sq_npl
+        and sigma vary across points for online-tau configs)."""
         batch = tkeys.shape[0]
         mkeys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(tkeys)
         nkeys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(tkeys)
@@ -121,12 +130,20 @@ class SparcModel:
             lambda k: jax.random.bernoulli(k, 0.5, (self.cfg.k_bits,))
         )(mkeys).astype(jnp.int32)
         idx_true = bits_to_indices(bits, self.cfg.logM)
-        x = self.op.Ax(self.build_beta(idx_true))
+        onehot = jax.nn.one_hot(idx_true, self.cfg.M, dtype=jnp.float32)
+        beta = (sq_npl[None, :, None] * onehot).reshape(batch, self.cfg.ML)
+        x = self.op.Ax(beta)
         noise = jax.vmap(
             lambda k: jax.random.normal(k, (self.cfg.n,), dtype=jnp.float32)
         )(nkeys)
-        y = x + noise * math.sqrt(self.sigma2)
-        res = self.decode(y)
+        y = x + noise * sigma
+        res = amp_decode(
+            y, self.op, sq_npl, self.cfg.P, self.cfg.n,
+            T=self.cfg.amp_iters, tol=self.cfg.amp_tol,
+            tau2_schedule=self.tau2_schedule,
+            use_pallas_denoiser=self.use_pallas, policy=self.policy,
+            residual_space=self.cfg.amp_residual_space,
+            fused=self.cfg.amp_kernel == "fused")
         idx_hat = hard_indices(res.beta)
         bits_hat = indices_to_bits(idx_hat, self.cfg.logM)
         bit_errors = jnp.sum(bits != bits_hat, axis=-1)         # (B,)
@@ -139,3 +156,46 @@ class SparcModel:
             iters_sum=jnp.sum(res.iters),
             tau2_final=jnp.mean(res.tau2_trace[-1]),
         )
+
+
+class SparcSweep:
+    """Shared-compile sweep helper: one jitted block function reused across
+    every Eb/N0 point (the per-point sq_npl / sigma are arguments, not
+    closure constants — compiles once instead of once per point).
+
+    Only valid for online-tau configs (an SE tau schedule is itself
+    point-dependent and static-shaped; those fall back to per-point jits).
+    """
+
+    def __init__(self, cfg: SparcConfig, use_pallas: bool = False,
+                 policy=None):
+        self.cfg = cfg
+        self.use_pallas = use_pallas
+        self.policy = policy
+        self._jitted = None
+        self._base = None
+
+    class _Point:
+        def __init__(self, sweep, model):
+            self._sweep = sweep
+            self.model = model
+            self.cfg = model.cfg
+
+        def run_block(self, tkeys):
+            import math as _m
+            return self._sweep._jitted(
+                tkeys, self.model.sq_npl,
+                jnp.float32(_m.sqrt(self.model.sigma2)))
+        run_block._prejitted = True  # campaign must not re-jit
+
+    def model_for_point(self, ebno_db: float) -> "SparcSweep._Point":
+        model = SparcModel.build(self.cfg, ebno_db,
+                                 use_pallas=self.use_pallas,
+                                 policy=self.policy)
+        if self.cfg.tau_mode != "online":
+            return model          # point-specific schedule: per-point jit
+        if self._jitted is None:
+            self._base = model
+            base = model
+            self._jitted = jax.jit(base.run_block_params)
+        return SparcSweep._Point(self, model)

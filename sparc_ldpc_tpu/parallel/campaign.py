@@ -63,7 +63,10 @@ def run_point(
         if policy is not None:
             tkeys = jax.device_put(tkeys, policy.batch1())
         if compiled is None:
-            compiled = jax.jit(run_block)
+            # SparcSweep points arrive pre-jitted (shared compilation across
+            # sweep points); everything else is jitted here per point.
+            compiled = (run_block if getattr(run_block, "_prejitted", False)
+                        else jax.jit(run_block))
         out = compiled(tkeys)
         out = {k: int(v) for k, v in out.items()
                if k in _COUNTER_KEYS}
