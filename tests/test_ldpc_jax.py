@@ -113,3 +113,36 @@ def test_concat_beats_plain_sparc_in_residual_regime():
     assert int(conc["bp_ok"]) == B * cm.num_cw
     assert int(conc["frame_errors"]) < int(plain["frame_errors"])
     assert int(conc["bit_errors"]) < int(plain["bit_errors"])
+
+
+def test_concat_end_to_end_parity_vs_oracle(rng):
+    """Full-chain independent parity (SURVEY.md §4.1): the oracle concat
+    decoder and the TPU pipeline recover identical user bits from the SAME
+    received vector."""
+    import numpy as np
+    from sparc_ldpc_tpu.oracle.concat import OracleConcat
+
+    cfg = ConcatConfig(
+        sparc=SparcConfig(L=128, M=512, R=1.0, op_kind="hadamard",
+                          amp_iters=20, amp_tol=0.0),
+        ldpc=LCFG, f_prot=0.5, feedback_iters=6)
+    ebno = 4.5
+    cm = ConcatModel.build(cfg, ebno)
+    oc = OracleConcat.build(cfg, ebno)
+    assert (oc.Lu, oc.Lp, oc.num_cw) == (cm.Lu, cm.Lp, cm.num_cw)
+    assert oc.k_user == cm.k_user
+
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        bits = r.integers(0, 2, cm.k_user)
+        x = oc.encode(bits)
+        y = x + r.standard_normal(cfg.sparc.n) * np.sqrt(oc.sigma2)
+        hat_o = oc.decode(y)
+        out_j = cm.decode(jnp.asarray(y[None], dtype=jnp.float32))
+        hat_j = np.asarray(out_j["user_bits"][0])
+        # decisions must agree (both run the same gated-pinning policy);
+        # f32-vs-f64 can flip decisions only in near-tie events, so allow a
+        # tiny discrepancy budget rather than exact equality
+        diff = int(np.sum(hat_o != hat_j))
+        assert diff <= max(2, oc.k_user // 1000), (
+            f"seed {seed}: {diff} differing user bits")

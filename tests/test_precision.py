@@ -89,3 +89,13 @@ def test_fused_amp_kernel_matches_xla_interpret():
     tx = np.asarray(r_xla.tau2_trace)
     tf = np.asarray(r_fus.tau2_trace)
     np.testing.assert_allclose(tf, tx, rtol=2e-2)
+
+
+def test_no_nans_under_debug_nans():
+    """SURVEY.md §5 sanitizer analog: a full decode under jax.debug_nans
+    (catches 0/0, inf propagation regressions in the hot loop)."""
+    cfg = SparcConfig(L=32, M=64, R=1.0, op_kind="hadamard", amp_iters=8)
+    m = SparcModel.build(cfg, ebno_db=5.0)
+    with jax.debug_nans(True):
+        out = m.run_trials(jax.random.key(0), batch=4)
+        assert int(out["trials"]) == 4
