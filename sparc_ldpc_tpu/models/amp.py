@@ -69,6 +69,10 @@ def amp_decode(
     # Fused whole-AMP Pallas kernel (ops.amp_kernel): all T iterations per
     # codeword in VMEM.  Guards: eligible operator, single-chip (no policy),
     # online tau, no pinning, MXU-sized factors.
+    # L <= 1024: proven envelope.  L = 4096 single-tile was attempted (v5e
+    # accepts a 100 MB vmem cap) but Mosaic compilation of the 32 MB H_4096
+    # constant exceeded 10 minutes — large-L needs a staged 3-factor kernel
+    # (docs/PERF.md), not a bigger tile.
     if (fused and op.mask is not None and policy is None
             and tau2_schedule is None and pinned_mask is None
             and L <= 1024 and M <= 1024):

@@ -13,7 +13,7 @@ breakdown: DP is the primary axis).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import jax
@@ -182,10 +182,9 @@ class SparcSweep:
             self.cfg = model.cfg
 
         def run_block(self, tkeys):
-            import math as _m
             return self._sweep._jitted(
                 tkeys, self.model.sq_npl,
-                jnp.float32(_m.sqrt(self.model.sigma2)))
+                jnp.float32(math.sqrt(self.model.sigma2)))
         run_block._prejitted = True  # campaign must not re-jit
 
     def model_for_point(self, ebno_db: float) -> "SparcSweep._Point":
