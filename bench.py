@@ -56,7 +56,8 @@ def main():
 
     T = 32          # fixed AMP iteration budget (SE needs 28 iters @ 2 dB —
                     # R=1.0 is only 0.24 dB above the Shannon limit here)
-    B = 128         # codewords per block on the chip
+    B = 512         # codewords per block (amortizes the ~30 ms relay sync:
+                    # 11.2 -> 14.4 Mbit/s vs B=128; flat beyond — PERF.md)
     EBNO = 2.0
     # amp_kernel="fused": whole-AMP Pallas mega-kernel — all T iterations
     # per codeword in VMEM (ops/amp_kernel.py).  4x the best XLA path

@@ -68,8 +68,10 @@ def run_point(
             compiled = (run_block if getattr(run_block, "_prejitted", False)
                         else jax.jit(run_block))
         out = compiled(tkeys)
-        out = {k: int(v) for k, v in out.items()
-               if k in _COUNTER_KEYS}
+        # one bulk transfer instead of one ~30 ms relay round-trip per scalar
+        out = jax.device_get({k: v for k, v in out.items()
+                              if k in _COUNTER_KEYS})
+        out = {k: int(v) for k, v in out.items()}
         for k, v in out.items():
             totals[k] = totals.get(k, 0) + v
         if state is not None:

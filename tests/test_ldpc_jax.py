@@ -32,21 +32,21 @@ def test_device_encoder_matches_host(lmodel, rng):
 
 
 @pytest.mark.parametrize("method", ["minsum", "spa"])
-def test_bp_parity_vs_oracle(lmodel, method, rng):
-    """Same LLRs -> same hard outputs and posterior signs as the oracle."""
+def test_bp_parity_vs_oracle(method, rng):
+    """Same LLRs -> same hard outputs as the oracle, for BOTH schedules."""
+    lm = LdpcModel.build(LCFG.replace(decoder=method))
     B = 4
     sigma = 0.55
-    u = rng.integers(0, 2, (B, lmodel.k)).astype(np.uint8)
-    cw = lmodel.code.encode(u)
-    y = (1.0 - 2.0 * cw) + sigma * rng.standard_normal((B, lmodel.n))
+    u = rng.integers(0, 2, (B, lm.k)).astype(np.uint8)
+    cw = lm.code.encode(u)
+    y = (1.0 - 2.0 * cw) + sigma * rng.standard_normal((B, lm.n))
     llr = 2.0 * y / sigma**2
-    res = lmodel.decode(jnp.asarray(llr, dtype=jnp.float32))
+    res = lm.decode(jnp.asarray(llr, dtype=jnp.float32))
     for b in range(B):
-        hard_o, tot_o, _ = oracle_bp(
-            llr[b], lmodel.code, iters=LCFG.bp_iters, method=method,
+        hard_o, _, _ = oracle_bp(
+            llr[b], lm.code, iters=LCFG.bp_iters, method=method,
             alpha=LCFG.alpha, clip=LCFG.llr_clip)
-        if method == lmodel.cfg.decoder:
-            np.testing.assert_array_equal(np.asarray(res.hard[b]), hard_o)
+        np.testing.assert_array_equal(np.asarray(res.hard[b]), hard_o)
 
 
 @pytest.mark.parametrize("method", ["minsum", "spa"])
