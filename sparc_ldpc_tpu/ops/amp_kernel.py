@@ -47,6 +47,70 @@ def _mm(a, b):
         preferred_element_type=jnp.float32)
 
 
+def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
+                      f_a: int, f_b: int,
+                      y_ref, mask_ref, hfa_ref, hfb_ref, hm_ref, sq_ref,
+                      beta_ref, trace_ref,
+                      z_scr, b_scr, w_scr):
+    """Large-L variant: the L-axis Hadamard factor is decomposed as
+    H_L = H_{f_a} (x) H_{f_b}, so no O(L^2) constant is materialized
+    (H_4096 bf16 is 32 MB and broke Mosaic compile; H_32 + H_128 are KBs).
+
+    Transform of the (L, M) tile:
+      1. columns:  X @ H_M
+      2. row blocks: for each a < f_a: X[a f_b:(a+1) f_b] = H_{f_b} @ block
+      3. outer rows: X viewed (f_a, f_b*M) row-major: X = H_{f_a} @ X
+    Step 3's reshape is layout-compatible (row-major concatenation).
+    """
+    from jax.experimental import pallas as pl
+
+    L, M = b_scr.shape
+    mask = mask_ref[:].astype(jnp.float32)
+    sq = sq_ref[:]
+
+    def fwht_tile(x):
+        w_scr[:] = _mm(x, hm_ref[:])
+        def slab(a, _):
+            blk = w_scr[pl.ds(a * f_b, f_b), :]
+            w_scr[pl.ds(a * f_b, f_b), :] = jax.lax.dot_general(
+                hfb_ref[:], blk.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return 0
+        jax.lax.fori_loop(0, f_a, slab, 0)
+        w2 = w_scr[:].reshape(f_a, f_b * M)
+        w2 = jax.lax.dot_general(
+            hfa_ref[:], w2.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return w2.reshape(L, M)
+
+    b_scr[:] = jnp.zeros((L, M), jnp.float32)
+    z_scr[:] = jnp.zeros((L, M), jnp.float32)
+    trace_ref[0] = jnp.zeros(trace_ref.shape[1:], jnp.float32)
+
+    def body(t, tau2_prev):
+        beta = b_scr[:]
+        bnorm2 = jnp.sum(beta * beta)
+        coef = jnp.where(t == 0, 0.0, (P - bnorm2 / n) / tau2_prev)
+        w = fwht_tile(beta) * inv_sqrt_n
+        z = mask * (y_ref[0] - w) + coef * z_scr[:]
+        z_scr[:] = z
+        tau2 = jnp.sum(z * z) / n
+        s = fwht_tile(z) * inv_sqrt_n + b_scr[:]
+        a = sq * s / tau2
+        a = a - jnp.max(a, axis=1, keepdims=True)
+        e = jnp.exp(a)
+        b_scr[:] = sq * (e / jnp.sum(e, axis=1, keepdims=True))
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        hit = (r_ids * 128 + c_ids) == t
+        trace_ref[0] = jnp.where(hit, tau2, trace_ref[0])
+        return tau2
+
+    jax.lax.fori_loop(0, T, body, jnp.float32(jnp.inf))
+    beta_ref[0] = b_scr[:]
+
+
 def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
                 y_ref, mask_ref, hl_ref, hm_ref, sq_ref,
                 beta_ref, trace_ref,
@@ -109,45 +173,80 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
 
     B, L, M = y_n.shape
     assert T <= 1024, "trace buffer holds 1024 iterations"
-    hl = hadamard_factor(L, jnp.bfloat16)
     hm = hadamard_factor(M, jnp.bfloat16)
     inv_sqrt_n = 1.0 / math.sqrt(n)
-    kernel = functools.partial(_amp_kernel, T, n, float(P), inv_sqrt_n)
-    beta, trace = pl.pallas_call(
-        kernel,
+    common = dict(
         out_shape=(jax.ShapeDtypeStruct((B, L, M), jnp.float32),
                    jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, M), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, L), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, M), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        ],
         out_specs=(
             pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((L, M), jnp.float32),
-            pltpu.VMEM((L, M), jnp.float32),
-        ],
         # alias y_n with the beta output: y is only read during the loop and
-        # beta is written after it, so sharing the (1, L, M) block halves the
-        # double-buffered VMEM footprint (was 512 KB over the 16 MB limit).
+        # beta is written after it, so sharing the (1, L, M) block halves
+        # the double-buffered VMEM footprint.
         input_output_aliases={0: 0},
-        # the default scoped-vmem limit is 16 MB; the body's live set peaks
-        # at ~17 MB with double-buffered blocks + dot temporaries.  v5e has
-        # headroom above the default — raise the cap rather than splitting
-        # the tile (measured fine; revisit if a smaller-VMEM target appears).
+        # the default scoped-vmem limit is 16 MB; v5e accepts far more —
+        # raise the cap instead of shrinking tiles (docs/PERF.md).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(y_n, mask.astype(jnp.bfloat16), hl, hm, sq_npl.reshape(L, 1))
+    )
+    tile_specs = [
+        pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, M), lambda b: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    sq2 = sq_npl.reshape(L, 1)
+    if L <= 1024:
+        hl = hadamard_factor(L, jnp.bfloat16)
+        kernel = functools.partial(_amp_kernel, T, n, float(P), inv_sqrt_n)
+        beta, trace = pl.pallas_call(
+            kernel,
+            in_specs=tile_specs + [
+                pl.BlockSpec((L, L), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, M), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((L, M), jnp.float32),
+                pltpu.VMEM((L, M), jnp.float32),
+            ],
+            **common,
+        )(y_n, mask.astype(jnp.bfloat16), hl, hm, sq2)
+    else:
+        # large L: decompose H_L = H_{f_a} (x) H_{f_b}; no O(L^2) constant
+        f_b = 128
+        f_a = L // f_b
+        hfa = hadamard_factor(f_a, jnp.bfloat16)
+        hfb = hadamard_factor(f_b, jnp.bfloat16)
+        kernel = functools.partial(_amp_kernel_split, T, n, float(P),
+                                   inv_sqrt_n, f_a, f_b)
+        beta, trace = pl.pallas_call(
+            kernel,
+            in_specs=tile_specs + [
+                pl.BlockSpec((f_a, f_a), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((f_b, f_b), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, M), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((L, M), jnp.float32),
+                pltpu.VMEM((L, M), jnp.float32),
+                pltpu.VMEM((L, M), jnp.float32),
+            ],
+            **common,
+        )(y_n, mask.astype(jnp.bfloat16), hfa, hfb, hm, sq2)
     # unpack padded trace -> (T, B)
     tr = trace.reshape(B, 8 * 128)[:, :T].T
     return beta, tr

@@ -99,3 +99,66 @@ def test_no_nans_under_debug_nans():
     with jax.debug_nans(True):
         out = m.run_trials(jax.random.key(0), batch=4)
         assert int(out["trials"]) == 4
+
+
+def test_split_fused_kernel_matches_xla_interpret():
+    """Large-L fused variant (_amp_kernel_split: H_L = H_fa (x) H_fb) in
+    interpret mode vs the XLA scan — identical decisions, tau within 2%."""
+    import functools
+    import math
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sparc_ldpc_tpu.ops.amp_kernel as AK
+    from sparc_ldpc_tpu.ops.fwht import hadamard_factor
+    from sparc_ldpc_tpu.models.amp import amp_decode
+
+    cfg = SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=10,
+                      amp_tol=0.0)
+    m = SparcModel.build(cfg, ebno_db=5.0)
+    key = jax.random.key(2)
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                (2, cfg.k_bits)).astype(jnp.int32)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (2, cfg.n))
+    y = m.encode(bits) + noise * np.sqrt(m.sigma2)
+    r_ref = m.decode(y)
+
+    B, L, M = 2, cfg.L, cfg.M
+    f_b, f_a = 16, L // 16
+    y_n = m.op.embed_y(y).reshape(B, L, M)
+    kernel = functools.partial(AK._amp_kernel_split, cfg.amp_iters, cfg.n,
+                               1.0, 1.0 / math.sqrt(cfg.n), f_a, f_b)
+    beta, trace = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, L, M), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, M), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_a, f_a), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_b, f_b), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, M), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((L, M), jnp.float32)] * 3,
+        input_output_aliases={0: 0},
+        interpret=True,
+    )(y_n, m.op.mask.reshape(L, M).astype(jnp.bfloat16),
+      hadamard_factor(f_a, jnp.bfloat16), hadamard_factor(f_b, jnp.bfloat16),
+      hadamard_factor(M, jnp.bfloat16), m.sq_npl.reshape(L, 1))
+
+    np.testing.assert_array_equal(np.asarray(hard_indices(r_ref.beta)),
+                                  np.asarray(jnp.argmax(beta, axis=-1)))
+    tr = np.asarray(trace.reshape(B, -1)[:, : cfg.amp_iters]).T
+    np.testing.assert_allclose(tr, np.asarray(r_ref.tau2_trace), rtol=2e-2)
