@@ -20,7 +20,7 @@ Decode chain:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -60,6 +60,8 @@ class ConcatModel:
     Lp: int                  # protected sections
     num_cw: int              # LDPC codewords per SPARC frame
     bit_masks: jax.Array     # (logM, M) bool: bit b of index j is 1
+    # lazy per-stage jit cache (mutable holder inside a frozen dataclass)
+    _jits: dict = field(default_factory=dict)
 
     @staticmethod
     def build(cfg: ConcatConfig, ebno_db: float,
@@ -117,18 +119,10 @@ class ConcatModel:
         lse1 = jax.nn.logsumexp(jnp.where(mask1, a, neg), axis=-1)
         return (lse0 - lse1).reshape(B, self.Lp * self.cfg.sparc.logM)
 
-    def decode(self, y: jax.Array) -> Dict[str, jax.Array]:
-        """Full concatenated decode; returns user bits + diagnostics."""
-        B = y.shape[0]
-        scfg = self.cfg.sparc
-        logM, M, L = scfg.logM, scfg.M, scfg.L
-
-        # (1) inner AMP
-        res = self.sparc.decode(y)
-        tau2_final = res.tau2_trace[-1]
-
-        # (2)-(3) LLRs -> BP
-        llr = self._protected_llrs(res.scores)
+    def _bp_from_scores(self, scores: jax.Array):
+        """(2)-(4): scores -> hardened codeword bits + per-cw ok flags."""
+        B = scores.shape[0]
+        llr = self._protected_llrs(scores)
         llr = llr.reshape(B * self.num_cw, self.ldpc.n)
         bp = self.ldpc.decode(llr)
         # BP that fails the syndrome check can be *worse* than the channel
@@ -137,18 +131,22 @@ class ConcatModel:
         chan_hard = (llr < 0).astype(jnp.uint8)
         cw_bits = jnp.where(bp.ok[:, None], bp.hard, chan_hard)
         cw_hat = cw_bits.reshape(B, self.num_cw * self.ldpc.n)
+        return cw_hat, bp.ok.reshape(B, self.num_cw), bp.iters.reshape(B, -1)
 
-        # (4) hardened protected indices
+    def _feedback_user_bits(self, y: jax.Array, cw_hat: jax.Array,
+                            ok: jax.Array) -> jax.Array:
+        """(5)-(6): gated pinned re-AMP -> assembled user bits (B, k_user).
+
+        Only sections whose bits all come from syndrome-verified codewords
+        are pinned: pinning a wrongly-decoded codeword poisons the AMP
+        re-pass (observed: 27% vs 8% unprotected BER), while gating on
+        bp.ok makes failed frames fall back to plain-AMP quality and
+        decoded frames typically become error-free.
+        """
+        B = y.shape[0]
+        logM, M = self.cfg.sparc.logM, self.cfg.sparc.M
         prot_idx = bits_to_indices(cw_hat, logM)              # (B, Lp)
-
-        # (5) decision-feedback AMP with protected sections pinned.
-        # Only sections whose bits all come from syndrome-verified codewords
-        # are pinned: pinning a wrongly-decoded codeword poisons the AMP
-        # re-pass (observed: 27% vs 8% unprotected BER), while gating on
-        # bp.ok makes failed frames fall back to plain-AMP quality and
-        # decoded frames typically become error-free.
-        bit_ok = jnp.repeat(bp.ok.reshape(B, self.num_cw), self.ldpc.n,
-                            axis=1)                           # (B, Lp*logM)
+        bit_ok = jnp.repeat(ok, self.ldpc.n, axis=1)          # (B, Lp*logM)
         sec_ok = jnp.all(bit_ok.reshape(B, self.Lp, logM), axis=-1)
         pin_mask = jnp.concatenate(
             [jnp.zeros((B, self.Lu), bool), sec_ok], axis=1)
@@ -158,23 +156,74 @@ class ConcatModel:
         res2 = self.sparc.decode(
             y, T=self.cfg.feedback_iters,
             pinned_onehot=pin_onehot, pinned_mask=pin_mask)
-
-        # (6) final decisions
         unprot_idx = hard_indices(res2.beta)[:, : self.Lu]
         unprot_bits = indices_to_bits(unprot_idx, logM)
         msg_bits = self.ldpc.extract_message(
             cw_hat.reshape(B * self.num_cw, self.ldpc.n)
         ).reshape(B, self.num_cw * self.ldpc.k)
-        user_hat = jnp.concatenate([unprot_bits, msg_bits], axis=1)
-        return dict(user_bits=user_hat, bp_ok=bp.ok.reshape(B, self.num_cw),
-                    amp_iters=res.iters, bp_iters=bp.iters.reshape(B, -1),
-                    tau2_final=tau2_final)
+        return jnp.concatenate([unprot_bits, msg_bits], axis=1)
+
+    def decode(self, y: jax.Array) -> Dict[str, jax.Array]:
+        """Full concatenated decode; returns user bits + diagnostics."""
+        res = self.sparc.decode(y)
+        cw_hat, ok, bp_iters = self._bp_from_scores(res.scores)
+        user_hat = self._feedback_user_bits(y, cw_hat, ok)
+        return dict(user_bits=user_hat, bp_ok=ok,
+                    amp_iters=res.iters, bp_iters=bp_iters,
+                    tau2_final=res.tau2_trace[-1])
 
     # -------------------------------------------------------------- trial
 
     def run_trials(self, key: jax.Array, batch: int) -> Dict[str, jax.Array]:
         """Batched end-to-end Monte-Carlo block (SURVEY.md §3.5 inner body)."""
         return self.run_block(rngu.trial_keys(key, batch))
+
+    # ---------------------------------------------------- staged execution
+    #
+    # One monolithic jit of the full chain (inner AMP scan + BP scan +
+    # feedback AMP scan) blows up remote-compile time on the axon toolchain
+    # (>29 min observed, and one compile-helper SIGSEGV).  The staged runner
+    # compiles three bounded programs instead — each is individually a
+    # known-fast compile — and keeps all intermediates on device.
+
+    def _stage_gen_amp(self, tkeys: jax.Array):
+        batch = tkeys.shape[0]
+        mkeys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(tkeys)
+        nkeys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(tkeys)
+        bits = jax.vmap(
+            lambda k: jax.random.bernoulli(k, 0.5, (self.k_user,))
+        )(mkeys).astype(jnp.int32)
+        x = self.encode(bits)
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (self.sparc.cfg.n,),
+                                        dtype=jnp.float32))(nkeys)
+        y = x + noise * math.sqrt(self.sparc.sigma2)
+        res = self.sparc.decode(y)
+        return bits, y, res.scores, res.iters
+
+    def _stage_finish(self, y, cw_hat, ok, bits, amp_iters):
+        user_hat = self._feedback_user_bits(y, cw_hat, ok)
+        bit_errors = jnp.sum(bits != user_hat, axis=-1)
+        return dict(
+            bit_errors=jnp.sum(bit_errors),
+            frame_errors=jnp.sum(bit_errors > 0),
+            trials=jnp.asarray(y.shape[0], dtype=jnp.int32),
+            bp_ok=jnp.sum(ok),
+            iters_sum=jnp.sum(amp_iters),
+        )
+
+    def _jit(self, name, fn):
+        if name not in self._jits:
+            self._jits[name] = jax.jit(fn)
+        return self._jits[name]
+
+    def run_block_staged(self, tkeys: jax.Array) -> Dict[str, jax.Array]:
+        """Three bounded jits instead of one monolith (see note above)."""
+        bits, y, scores, iters = self._jit("s1", self._stage_gen_amp)(tkeys)
+        cw_hat, ok, _ = self._jit("s2", self._bp_from_scores)(scores)
+        return self._jit("s3", self._stage_finish)(y, cw_hat, ok, bits,
+                                                   iters)
+    run_block_staged._prejitted = True   # campaign must not wrap in jit
 
     def run_block(self, tkeys: jax.Array) -> Dict[str, jax.Array]:
         batch = tkeys.shape[0]

@@ -99,3 +99,40 @@ def test_run_point_respects_budget():
     tot = run_point(model.run_block, pkey, batch=8, min_frame_errors=1,
                     max_trials=16)
     assert tot["trials"] == 16  # hit the cap, not the error budget
+
+
+def test_sparc_sweep_shared_compile_matches_per_point():
+    """SparcSweep (one jit for all Eb/N0 points) == per-point jits."""
+    from sparc_ldpc_tpu.models.sparc import SparcSweep
+
+    sweep = SparcSweep(CFG)
+    for e in (4.0, 6.0):
+        pt = sweep.model_for_point(e)
+        assert getattr(pt.run_block, "_prejitted", False)
+        got = {k: int(v) for k, v in
+               pt.run_block(rngu.trial_keys(rngu.base_key(3), 8)).items()
+               if k != "tau2_final"}
+        ref_model = SparcModel.build(CFG, e)
+        ref = {k: int(v) for k, v in
+               jax.jit(ref_model.run_block)(
+                   rngu.trial_keys(rngu.base_key(3), 8)).items()
+               if k != "tau2_final"}
+        assert got == ref
+
+
+def test_concat_staged_matches_monolithic():
+    """run_block_staged (bounded per-stage jits) == single-jit run_block."""
+    from sparc_ldpc_tpu.config import ConcatConfig, LdpcConfig
+    from sparc_ldpc_tpu.models.concat import ConcatModel
+
+    cfg = ConcatConfig(
+        sparc=SparcConfig(L=128, M=512, R=1.0, op_kind="hadamard",
+                          amp_iters=12, amp_tol=0.0),
+        ldpc=LdpcConfig(kind="array", z=13, rows_b=3, cols_b=12,
+                        bp_iters=24),
+        f_prot=0.5, feedback_iters=4)
+    m = ConcatModel.build(cfg, ebno_db=4.5)
+    tk = rngu.trial_keys(rngu.base_key(7), 8)
+    mono = {k: int(v) for k, v in jax.jit(m.run_block)(tk).items()}
+    staged = {k: int(v) for k, v in m.run_block_staged(tk).items()}
+    assert mono == staged
