@@ -87,8 +87,13 @@ def bp_decode(
         m_vc = tot[:, cn] - m_cv                          # (B, m, max_dc)
         m_vc = jnp.clip(m_vc, -clip, clip)
         mag = jnp.where(cmask[None], jnp.abs(m_vc), jnp.inf)
-        sgn = jnp.where(cmask[None] & (m_vc < 0), -1.0, 1.0)
-        sign_prod = jnp.prod(sgn, axis=-1, keepdims=True)  # (B, m, 1)
+        # sign product via negative-count parity: jnp.prod over the edge
+        # axis SIGSEGVs the TPU remote compiler (observed on v5e/axon), and
+        # the parity form is cheaper anyway.
+        neg = cmask[None] & (m_vc < 0)
+        sgn = jnp.where(neg, -1.0, 1.0)
+        n_neg = jnp.sum(neg.astype(jnp.int32), axis=-1, keepdims=True)
+        sign_prod = (1 - 2 * (n_neg & 1)).astype(m_vc.dtype)  # (B, m, 1)
         if method == "minsum":
             min1 = jnp.min(mag, axis=-1, keepdims=True)
             arg1 = jnp.argmin(mag, axis=-1)
