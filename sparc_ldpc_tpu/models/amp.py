@@ -69,13 +69,13 @@ def amp_decode(
     # Fused whole-AMP Pallas kernel (ops.amp_kernel): all T iterations per
     # codeword in VMEM.  Guards: eligible operator, single-chip (no policy),
     # online tau, no pinning, MXU-sized factors.
-    # L <= 1024: proven envelope.  L = 4096 single-tile was attempted (v5e
-    # accepts a 100 MB vmem cap) but Mosaic compilation of the 32 MB H_4096
-    # constant exceeded 10 minutes — large-L needs a staged 3-factor kernel
-    # (docs/PERF.md), not a bigger tile.
+    # L <= 1024 uses the monolithic H_L kernel; 1024 < L <= 4096 routes to
+    # the split variant (H_L = H_fa (x) H_fb — a monolithic H_4096 constant
+    # is 32 MB and stalls Mosaic compile, the split compiles in ~40 s and
+    # measured ~10x the XLA path at L=4096).  See ops/amp_kernel.py.
     if (fused and op.mask is not None and policy is None
             and tau2_schedule is None and pinned_mask is None
-            and L <= 1024 and M <= 1024):
+            and L <= 4096 and M <= 1024):
         from ..ops.amp_kernel import amp_fused
 
         y_n = op.embed_y(y).reshape(B, L, M)
