@@ -59,13 +59,15 @@ def main():
     B = 512         # codewords per block (amortizes the ~30 ms relay sync:
                     # 11.2 -> 14.4 Mbit/s vs B=128; flat beyond — PERF.md)
     EBNO = 2.0
-    # amp_kernel="fused": whole-AMP Pallas mega-kernel — all T iterations
-    # per codeword in VMEM (ops/amp_kernel.py).  4x the best XLA path
-    # (105.8 vs 422 ms/block) at identical decode quality; parity tests in
-    # tests/test_precision.py, A/B history in docs/PERF.md.
+    # amp_kernel="fused_split": whole-AMP Pallas mega-kernel — all T
+    # iterations per codeword in VMEM (ops/amp_kernel.py), with the L-axis
+    # Hadamard factor split H_1024 = H_8 (x) H_128 (~2.4x fewer transform
+    # FLOPs).  A/B at B=512: 306 vs 336 ms/block for the monolithic-H_L
+    # fused kernel and 422 ms for the best XLA path, identical decode
+    # quality; parity tests in tests/test_precision.py, history docs/PERF.md.
     cfg = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                       op_kind="hadamard", amp_iters=T, amp_tol=0.0,
-                      transform_precision="bf16", amp_kernel="fused")
+                      transform_precision="bf16", amp_kernel="fused_split")
 
     log(f"devices: {jax.devices()}")
     model = SparcModel.build(cfg, ebno_db=EBNO)

@@ -91,7 +91,10 @@ class SparcConfig:
     # (ML == N, L,M <= 1024, online tau, no pinning); falls back to the XLA
     # scan otherwise.  Fixed-T semantics: pair with amp_tol=0 for trace
     # reproducibility.
-    amp_kernel: str = "xla"         # "xla" | "fused"
+    # "fused_split" forces the 3-factor split transform (H_L = H_fa (x)
+    # H_fb) even at L <= 1024 — ~2.4x fewer transform FLOPs; A/B it per
+    # config (docs/PERF.md).
+    amp_kernel: str = "xla"         # "xla" | "fused" | "fused_split"
 
     def __post_init__(self):
         if not _is_pow2(self.M):
@@ -111,7 +114,7 @@ class SparcConfig:
         if self.amp_residual_space not in ("n", "N"):
             raise ValueError(
                 f"unknown amp_residual_space {self.amp_residual_space!r}")
-        if self.amp_kernel not in ("xla", "fused"):
+        if self.amp_kernel not in ("xla", "fused", "fused_split"):
             raise ValueError(f"unknown amp_kernel {self.amp_kernel!r}")
 
     @property

@@ -60,6 +60,7 @@ def amp_decode(
     residual_space: str = "n",
     fused: bool = False,
     fused_interpret: bool = False,
+    fused_split: Optional[bool] = None,   # None = auto (split iff L > 1024)
 ) -> AmpResult:
     B = y.shape[0]
     L = sq_npl.shape[0]
@@ -81,7 +82,8 @@ def amp_decode(
         y_n = op.embed_y(y).reshape(B, L, M)
         mask2d = op.mask.reshape(L, M)
         beta3, trace = amp_fused(y_n, mask2d, sq_npl, P, n, T,
-                                 interpret=fused_interpret)
+                                 interpret=fused_interpret,
+                                 split=fused_split)
         post = beta3 / sq_npl[None, :, None]
         scores = jnp.log(jnp.maximum(post, jnp.finfo(y.dtype).tiny))
         return AmpResult(beta=beta3, posteriors=post, scores=scores,

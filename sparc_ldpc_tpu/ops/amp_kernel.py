@@ -166,7 +166,8 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
               mask: jax.Array,         # (L, M)
               sq_npl: jax.Array,       # (L,)
               P: float, n: int, T: int,
-              interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+              interpret: bool = False,
+              split: bool | None = None) -> Tuple[jax.Array, jax.Array]:
     """Run the fused kernel: returns (beta (B, L, M), tau2_trace (T, B))."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -201,7 +202,13 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         pl.BlockSpec((L, M), lambda b: (0, 0), memory_space=pltpu.VMEM),
     ]
     sq2 = sq_npl.reshape(L, 1)
-    if L <= 1024:
+    # The split variant is mandatory above L=1024 (the monolithic H_L
+    # constant breaks Mosaic compile) and optional below it: it trades the
+    # O(L) per-element transform cost for O(f_a + f_b), i.e. ~2.4x fewer
+    # transform FLOPs at L=1024, at the price of a narrow f_a-contraction
+    # matmul.  A/B-measured via amp_kernel="fused_split" (docs/PERF.md).
+    use_split = (L > 1024) if split is None else split
+    if not use_split:
         hl = hadamard_factor(L, jnp.bfloat16)
         kernel = functools.partial(_amp_kernel, T, n, float(P), inv_sqrt_n)
         beta, trace = pl.pallas_call(

@@ -162,3 +162,26 @@ def test_split_fused_kernel_matches_xla_interpret():
                                   np.asarray(jnp.argmax(beta, axis=-1)))
     tr = np.asarray(trace.reshape(B, -1)[:, : cfg.amp_iters]).T
     np.testing.assert_allclose(tr, np.asarray(r_ref.tau2_trace), rtol=2e-2)
+
+
+def test_fused_split_config_path_matches_xla_interpret():
+    """amp_kernel="fused_split" (forced 3-factor split at L <= 1024, the
+    bench default) through the SparcModel path vs the XLA scan."""
+    cfg = SparcConfig(L=256, M=64, R=1.0, op_kind="hadamard", amp_iters=10,
+                      amp_tol=0.0, transform_precision="bf16",
+                      amp_kernel="fused_split")
+    cfg_x = SparcConfig(L=256, M=64, R=1.0, op_kind="hadamard", amp_iters=10,
+                        amp_tol=0.0, transform_precision="bf16")
+    m_s, m_x = SparcModel.build(cfg, ebno_db=5.0), SparcModel.build(cfg_x,
+                                                                    ebno_db=5.0)
+    key = jax.random.key(7)
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                (2, cfg.k_bits)).astype(jnp.int32)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (2, cfg.n))
+    y = m_x.encode(bits) + noise * np.sqrt(m_x.sigma2)
+    r_s = m_s.decode(y, fused_interpret=True)
+    r_x = m_x.decode(y)
+    np.testing.assert_array_equal(np.asarray(hard_indices(r_x.beta)),
+                                  np.asarray(hard_indices(r_s.beta)))
+    np.testing.assert_allclose(np.asarray(r_s.tau2_trace),
+                               np.asarray(r_x.tau2_trace), rtol=2e-2)
