@@ -47,19 +47,36 @@ def _mm(a, b):
         preferred_element_type=jnp.float32)
 
 
+def _fwht_blocks(bs):
+    """FWHT across a list of equal-shape tiles via the Sylvester recursion:
+    H_{2k} [top; bot] = [H_k top + H_k bot; H_k top - H_k bot].
+    Pure VPU add/subs — for a small block count this beats a narrow
+    f_a-contraction matmul by a wide margin (docs/PERF.md ablation)."""
+    if len(bs) == 1:
+        return bs
+    half = len(bs) // 2
+    t = _fwht_blocks(bs[:half])
+    u = _fwht_blocks(bs[half:])
+    return ([ti + ui for ti, ui in zip(t, u)]
+            + [ti - ui for ti, ui in zip(t, u)])
+
+
 def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
-                      f_a: int, f_b: int,
+                      f_a: int, f_b: int, vpu_outer: bool,
                       y_ref, mask_ref, hfa_ref, hfb_ref, hm_ref, sq_ref,
                       beta_ref, trace_ref,
                       z_scr, b_scr, w_scr):
-    """Large-L variant: the L-axis Hadamard factor is decomposed as
+    """Split variant: the L-axis Hadamard factor is decomposed as
     H_L = H_{f_a} (x) H_{f_b}, so no O(L^2) constant is materialized
     (H_4096 bf16 is 32 MB and broke Mosaic compile; H_32 + H_128 are KBs).
 
     Transform of the (L, M) tile:
       1. columns:  X @ H_M
       2. row blocks: for each a < f_a: X[a f_b:(a+1) f_b] = H_{f_b} @ block
-      3. outer rows: X viewed (f_a, f_b*M) row-major: X = H_{f_a} @ X
+      3. outer rows: H_{f_a} across the f_a row blocks — either VPU
+         butterflies on whole (f_b, M) tiles (`vpu_outer`, unrolled slabs;
+         the fast path for f_a <= 8), or one matmul on the (f_a, f_b*M)
+         row-major view (large f_a, bounded code size).
     Step 3's reshape is layout-compatible (row-major concatenation).
     """
     from jax.experimental import pallas as pl
@@ -70,6 +87,16 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
 
     def fwht_tile(x):
         w_scr[:] = _mm(x, hm_ref[:])
+        if vpu_outer:
+            for a in range(f_a):
+                blk = w_scr[pl.ds(a * f_b, f_b), :]
+                w_scr[pl.ds(a * f_b, f_b), :] = jax.lax.dot_general(
+                    hfb_ref[:], blk.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            rows = _fwht_blocks([w_scr[pl.ds(a * f_b, f_b), :]
+                                 for a in range(f_a)])
+            return jnp.concatenate(rows, axis=0)
         def slab(a, _):
             blk = w_scr[pl.ds(a * f_b, f_b), :]
             w_scr[pl.ds(a * f_b, f_b), :] = jax.lax.dot_general(
@@ -97,10 +124,12 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
         z_scr[:] = z
         tau2 = jnp.sum(z * z) / n
         s = fwht_tile(z) * inv_sqrt_n + b_scr[:]
-        a = sq * s / tau2
+        # divisions are many-cycle VPU ops: do them once per row/scalar and
+        # broadcast the reciprocal as a multiply over the (L, M) tile.
+        a = (sq / tau2) * s
         a = a - jnp.max(a, axis=1, keepdims=True)
         e = jnp.exp(a)
-        b_scr[:] = sq * (e / jnp.sum(e, axis=1, keepdims=True))
+        b_scr[:] = (sq / jnp.sum(e, axis=1, keepdims=True)) * e
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         hit = (r_ids * 128 + c_ids) == t
@@ -146,10 +175,11 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
         tau2 = jnp.sum(z * z) / n
         # adjoint (self-adjoint transform, same tile)
         s = _mm(hl_ref[:], _mm(z, hm_ref[:])) * inv_sqrt_n + beta
-        a = sq * s / tau2
+        # per-row reciprocals instead of (L, M) elementwise divisions
+        a = (sq / tau2) * s
         a = a - jnp.max(a, axis=1, keepdims=True)
         e = jnp.exp(a)
-        b_scr[:] = sq * (e / jnp.sum(e, axis=1, keepdims=True))
+        b_scr[:] = (sq / jnp.sum(e, axis=1, keepdims=True)) * e
         # Mosaic cannot store scalars to VMEM: write the tau2 trace as a
         # masked RMW of the whole (8, 128) tile (4 KB, negligible).
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -228,13 +258,17 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
             **common,
         )(y_n, mask.astype(jnp.bfloat16), hl, hm, sq2)
     else:
-        # large L: decompose H_L = H_{f_a} (x) H_{f_b}; no O(L^2) constant
+        # decompose H_L = H_{f_a} (x) H_{f_b}; no O(L^2) constant.  The
+        # outer H_{f_a} runs as VPU tile butterflies when f_a is small
+        # (unrolled; A/B'd fastest at L=1024 — docs/PERF.md) and as one
+        # matmul on the (f_a, f_b*M) view for large f_a (code-size bound).
         f_b = 128
         f_a = L // f_b
+        vpu_outer = f_a <= 8
         hfa = hadamard_factor(f_a, jnp.bfloat16)
         hfb = hadamard_factor(f_b, jnp.bfloat16)
         kernel = functools.partial(_amp_kernel_split, T, n, float(P),
-                                   inv_sqrt_n, f_a, f_b)
+                                   inv_sqrt_n, f_a, f_b, vpu_outer)
         beta, trace = pl.pallas_call(
             kernel,
             in_specs=tile_specs + [

@@ -101,9 +101,12 @@ def test_no_nans_under_debug_nans():
         assert int(out["trials"]) == 4
 
 
-def test_split_fused_kernel_matches_xla_interpret():
-    """Large-L fused variant (_amp_kernel_split: H_L = H_fa (x) H_fb) in
-    interpret mode vs the XLA scan — identical decisions, tau within 2%."""
+@pytest.mark.parametrize("vpu_outer", [True, False])
+def test_split_fused_kernel_matches_xla_interpret(vpu_outer):
+    """Split fused variant (_amp_kernel_split: H_L = H_fa (x) H_fb) in
+    interpret mode vs the XLA scan — identical decisions, tau within 2%.
+    Covers both outer-stage paths: VPU tile butterflies and the
+    (f_a, f_b*M)-view matmul."""
     import functools
     import math
 
@@ -128,7 +131,8 @@ def test_split_fused_kernel_matches_xla_interpret():
     f_b, f_a = 16, L // 16
     y_n = m.op.embed_y(y).reshape(B, L, M)
     kernel = functools.partial(AK._amp_kernel_split, cfg.amp_iters, cfg.n,
-                               1.0, 1.0 / math.sqrt(cfg.n), f_a, f_b)
+                               1.0, 1.0 / math.sqrt(cfg.n), f_a, f_b,
+                               vpu_outer)
     beta, trace = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((B, L, M), jnp.float32),
