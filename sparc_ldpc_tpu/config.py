@@ -81,6 +81,11 @@ class SparcConfig:
     # docs/PERF.md A/B table): XLA fuses the transposes into the dots better
     # than the penultimate-dim contraction form lowers.  Keep both.
     fwht_scheme: str = "mxu"   # "mxu" | "rev"
+    # transform backend under a section-sharded mesh: "gspmd" lets XLA shard
+    # the mode contractions from the NamedShardings; "collective" uses the
+    # hand hypercube-ppermute FWHT (parallel.dist_fwht) — the explicit
+    # ring-attention-analog path (SURVEY.md §5), A/B-able per config.
+    fwht_dist: str = "gspmd"   # "gspmd" | "collective"
     # Residual domain for AMP with fast-transform operators.  "N" keeps z in
     # the transform domain (no gather/scatter) but carries a (B, N) state
     # through the early-stop freeze mask — measured SLOWER on v5e (469 vs
@@ -111,6 +116,8 @@ class SparcConfig:
                 f"unknown transform_precision {self.transform_precision!r}")
         if self.fwht_scheme not in ("mxu", "rev"):
             raise ValueError(f"unknown fwht_scheme {self.fwht_scheme!r}")
+        if self.fwht_dist not in ("gspmd", "collective"):
+            raise ValueError(f"unknown fwht_dist {self.fwht_dist!r}")
         if self.amp_residual_space not in ("n", "N"):
             raise ValueError(
                 f"unknown amp_residual_space {self.amp_residual_space!r}")

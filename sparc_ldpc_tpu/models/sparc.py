@@ -62,7 +62,7 @@ class SparcModel:
         return SparcModel(
             cfg=cfg, ebno_db=ebno_db, sigma2=sigma2, p_alloc=p,
             sq_npl=jnp.asarray(np.sqrt(cfg.n * p), dtype=jnp.float32),
-            op=make_operator(cfg, use_pallas=use_pallas),
+            op=make_operator(cfg, use_pallas=use_pallas, policy=policy),
             tau2_schedule=sched, use_pallas=use_pallas, policy=policy)
 
     # ------------------------------------------------------------- encode

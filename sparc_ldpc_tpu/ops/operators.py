@@ -81,7 +81,8 @@ def dense_operator(cfg: SparcConfig) -> BatchedOperator:
     return BatchedOperator(Ax=Ax, Ay=Ay, n=n, ML=ML, N=ML)
 
 
-def hadamard_operator(cfg: SparcConfig, use_pallas: bool = False) -> BatchedOperator:
+def hadamard_operator(cfg: SparcConfig, use_pallas: bool = False,
+                      policy=None) -> BatchedOperator:
     """Matrix-free partial-Hadamard operator (App. A.3), MXU transform.
 
     Transpose-free scheme (see ops.fwht): the forward transform emits the
@@ -98,6 +99,20 @@ def hadamard_operator(cfg: SparcConfig, use_pallas: bool = False) -> BatchedOper
              if plan.signs is not None else None)
     inv_sqrt_n = 1.0 / math.sqrt(n)
     prec = cfg.transform_precision
+
+    # transform backend: plain local/GSPMD mode contractions, or the hand
+    # hypercube-ppermute collective FWHT under a section-sharded policy
+    # (cfg.fwht_dist == "collective"; parallel.dist_fwht docstring).
+    if (policy is not None and getattr(policy, "section_axis", None)
+            and cfg.fwht_dist == "collective"):
+        from ..parallel.dist_fwht import dist_fwht
+
+        def txf(u):
+            return dist_fwht(u, policy.mesh, policy.data_axis,
+                             policy.section_axis, precision=prec)
+    else:
+        def txf(u):
+            return fwht_mxu(u, precision=prec)
 
     if use_pallas:
         def Ax(beta):
@@ -125,13 +140,13 @@ def hadamard_operator(cfg: SparcConfig, use_pallas: bool = False) -> BatchedOper
             if signs is not None:
                 beta = beta * signs
             u = beta if ML == N else jnp.pad(beta, ((0, 0), (0, N - ML)))
-            w = fwht_mxu(u, precision=prec)
+            w = txf(u)
             return jnp.take(w, rows_nat, axis=-1) * inv_sqrt_n
 
         def Ay(z):
             u = jnp.zeros(z.shape[:-1] + (N,), dtype=z.dtype)
             u = u.at[..., rows_nat].set(z)
-            w = fwht_mxu(u, precision=prec)
+            w = txf(u)
             s = w[..., :ML] * inv_sqrt_n
             return s * signs if signs is not None else s
 
@@ -145,11 +160,11 @@ def hadamard_operator(cfg: SparcConfig, use_pallas: bool = False) -> BatchedOper
             if signs is not None:
                 beta = beta * signs
             u = beta if ML == N else jnp.pad(beta, ((0, 0), (0, N - ML)))
-            w = fwht_mxu(u, precision=prec)
+            w = txf(u)
             return mask * (yN - w * inv_sqrt_n) + zN * coef
 
         def adj_n(zN):
-            w = fwht_mxu(zN, precision=prec)
+            w = txf(zN)
             s = w[..., :ML] * inv_sqrt_n
             return s * signs if signs is not None else s
 
@@ -205,11 +220,12 @@ def dct_operator(cfg: SparcConfig) -> BatchedOperator:
     return BatchedOperator(Ax=Ax, Ay=Ay, n=n, ML=ML, N=N)
 
 
-def make_operator(cfg: SparcConfig, use_pallas: bool = False) -> BatchedOperator:
+def make_operator(cfg: SparcConfig, use_pallas: bool = False,
+                  policy=None) -> BatchedOperator:
     if cfg.op_kind == "dense":
         return dense_operator(cfg)
     if cfg.op_kind == "hadamard":
-        return hadamard_operator(cfg, use_pallas=use_pallas)
+        return hadamard_operator(cfg, use_pallas=use_pallas, policy=policy)
     if cfg.op_kind == "dct":
         return dct_operator(cfg)
     raise ValueError(cfg.op_kind)

@@ -136,3 +136,37 @@ def test_concat_staged_matches_monolithic():
     mono = {k: int(v) for k, v in jax.jit(m.run_block)(tk).items()}
     staged = {k: int(v) for k, v in m.run_block_staged(tk).items()}
     assert mono == staged
+
+
+def test_dist_fwht_matches_local():
+    """Hand hypercube-ppermute FWHT (parallel.dist_fwht) == local transform
+    on every mesh shape, and self-inverse up to N."""
+    from sparc_ldpc_tpu.ops.fwht import fwht_mxu
+    from sparc_ldpc_tpu.parallel.dist_fwht import dist_fwht
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((8, 512)),
+                    jnp.float32)
+    ref = fwht_mxu(x, precision="highest")
+    for shards in (8, 4, 2, 1):
+        mesh = make_mesh(section_shards=shards)
+        got = dist_fwht(x, mesh, precision="highest")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-3)
+        twice = dist_fwht(got, mesh, precision="highest")
+        np.testing.assert_allclose(np.asarray(twice), np.asarray(x) * 512,
+                                   rtol=1e-5, atol=1e-2)
+
+
+def test_collective_fwht_model_matches_single_device():
+    """fwht_dist="collective" under a section-sharded mesh reproduces the
+    single-device decode counters exactly (same key tree)."""
+    model = SparcModel.build(CFG, ebno_db=5.0)
+    ref = _counters(model)
+    cfg_c = SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=12,
+                        fwht_dist="collective")
+    mesh = make_mesh(section_shards=2)
+    pol = ShardingPolicy(mesh)
+    model_c = SparcModel.build(cfg_c, ebno_db=5.0, policy=pol)
+    with jax.sharding.set_mesh(mesh):
+        got = _counters(model_c, policy=pol)
+    assert got == ref
