@@ -197,7 +197,8 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
               sq_npl: jax.Array,       # (L,)
               P: float, n: int, T: int,
               interpret: bool = False,
-              split: bool | None = None) -> Tuple[jax.Array, jax.Array]:
+              split: bool | None = None,
+              vpu_outer_max: int = 32) -> Tuple[jax.Array, jax.Array]:
     """Run the fused kernel: returns (beta (B, L, M), tau2_trace (T, B))."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -264,7 +265,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         # matmul on the (f_a, f_b*M) view for large f_a (code-size bound).
         f_b = 128
         f_a = L // f_b
-        vpu_outer = f_a <= 8
+        vpu_outer = f_a <= vpu_outer_max
         hfa = hadamard_factor(f_a, jnp.bfloat16)
         hfb = hadamard_factor(f_b, jnp.bfloat16)
         kernel = functools.partial(_amp_kernel_split, T, n, float(P),
