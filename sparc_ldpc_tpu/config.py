@@ -271,10 +271,14 @@ PRESETS = {
     # 3. fast-transform SPARC, L=4096 (matrix-free operator stress config)
     "fast_l4096": SparcConfig(L=4096, M=512, R=1.5, power_alloc="iterative",
                               op_kind="hadamard"),
-    # 4. concatenated SPARC+LDPC (see ConcatConfig defaults)
+    # 4. concatenated SPARC+LDPC (see ConcatConfig defaults).  The inner
+    # AMP rides the fused split kernel (2.1x the XLA scan on-chip at
+    # identical counters — docs/PERF.md); the pinned feedback pass falls
+    # back to the XLA scan automatically.
     "concat": ConcatConfig(
         sparc=SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
-                          op_kind="hadamard"),
+                          op_kind="hadamard", amp_kernel="fused_split",
+                          amp_tol=0.0, transform_precision="bf16"),
         ldpc=LdpcConfig(kind="array", z=31, rows_b=4, cols_b=24),
         f_prot=0.5,
     ),

@@ -79,6 +79,10 @@ def amp_decode(
             and L <= 4096 and M <= 1024):
         from ..ops.amp_kernel import amp_fused
 
+        # Pallas needs a real TPU; on the CPU backend (tests, --cpu debug
+        # runs) fall back to interpret mode so fused configs stay runnable.
+        if jax.default_backend() == "cpu":
+            fused_interpret = True
         y_n = op.embed_y(y).reshape(B, L, M)
         mask2d = op.mask.reshape(L, M)
         beta3, trace = amp_fused(y_n, mask2d, sq_npl, P, n, T,
