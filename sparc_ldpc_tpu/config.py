@@ -184,8 +184,10 @@ class LdpcConfig:
       n_bits: code length for "regular".
       seed: construction seed for "regular".
       path: alist path for "alist".
-      decoder: "minsum" (normalized min-sum) or "spa" (sum-product).
+      decoder: "minsum" (normalized min-sum), "oms" (offset min-sum) or
+        "spa" (sum-product).
       alpha: min-sum normalization factor (App. A.6; 0.8-0.9 typical).
+      beta: offset for "oms" (App. A.6).
       bp_iters: max flooding iterations.
       llr_clip: LLR clipping bound for f32 stability.
     """
@@ -201,13 +203,14 @@ class LdpcConfig:
     path: Optional[str] = None
     decoder: str = "minsum"
     alpha: float = 0.8125
+    beta: float = 0.15
     bp_iters: int = 64
     llr_clip: float = 20.0
 
     def __post_init__(self):
         if self.kind not in ("array", "regular", "alist"):
             raise ValueError(f"unknown ldpc kind {self.kind!r}")
-        if self.decoder not in ("minsum", "spa"):
+        if self.decoder not in ("minsum", "oms", "spa"):
             raise ValueError(f"unknown decoder {self.decoder!r}")
 
     def replace(self, **kw) -> "LdpcConfig":
@@ -269,8 +272,11 @@ PRESETS = {
     "pa_l1024": SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                             op_kind="hadamard"),
     # 3. fast-transform SPARC, L=4096 (matrix-free operator stress config)
+    # large-L perf config rides the fused split kernel (VPU-outer stage;
+    # 8.2 Mbit/s vs ~2.5 ms per codeword-iteration on the XLA path)
     "fast_l4096": SparcConfig(L=4096, M=512, R=1.5, power_alloc="iterative",
-                              op_kind="hadamard"),
+                              op_kind="hadamard", amp_kernel="fused",
+                              amp_tol=0.0, transform_precision="bf16"),
     # 4. concatenated SPARC+LDPC (see ConcatConfig defaults).  The inner
     # AMP rides the fused split kernel (2.1x the XLA scan on-chip at
     # identical counters — docs/PERF.md); the pinned feedback pass falls

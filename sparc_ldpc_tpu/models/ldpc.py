@@ -57,7 +57,7 @@ class LdpcModel:
         return bp_decode(llr, self.tables,
                          iters=iters or self.cfg.bp_iters,
                          method=self.cfg.decoder, alpha=self.cfg.alpha,
-                         clip=self.cfg.llr_clip)
+                         beta=self.cfg.beta, clip=self.cfg.llr_clip)
 
     def extract_message(self, codeword_bits: jax.Array) -> jax.Array:
         """(B, n) -> (B, k) message bits at the systematic positions."""

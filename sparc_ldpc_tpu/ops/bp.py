@@ -12,8 +12,9 @@ reductions over (B, m, max_dc) / (B, n, max_dv) tensors — pure VPU work that
 XLA fuses, batched over codewords (the 'data' mesh axis).  Check-node
 exclude-self min uses the (min1, min2) trick rather than per-slot loops.
 
-Flooding schedule, normalized min-sum or sum-product, syndrome early stop as
-a freeze mask (identical semantics to the oracle's `break`).
+Flooding schedule; normalized min-sum ("minsum"), offset min-sum ("oms")
+or sum-product ("spa"); syndrome early stop as a freeze mask (identical
+semantics to the oracle's `break`).
 """
 
 from __future__ import annotations
@@ -67,6 +68,7 @@ def bp_decode(
     iters: int = 64,
     method: str = "minsum",
     alpha: float = 0.8125,
+    beta: float = 0.15,
     clip: float = 20.0,
 ) -> BpResult:
     B = llr.shape[0]
@@ -94,14 +96,19 @@ def bp_decode(
         sgn = jnp.where(neg, -1.0, 1.0)
         n_neg = jnp.sum(neg.astype(jnp.int32), axis=-1, keepdims=True)
         sign_prod = (1 - 2 * (n_neg & 1)).astype(m_vc.dtype)  # (B, m, 1)
-        if method == "minsum":
+        if method in ("minsum", "oms"):
             min1 = jnp.min(mag, axis=-1, keepdims=True)
             arg1 = jnp.argmin(mag, axis=-1)
             mag2 = jnp.where(
                 jax.nn.one_hot(arg1, max_dc, dtype=bool), jnp.inf, mag)
             min2 = jnp.min(mag2, axis=-1, keepdims=True)
             exc_min = jnp.where(mag == min1, min2, min1)
-            new_cv = alpha * (sign_prod * sgn) * exc_min
+            if method == "oms":
+                # offset min-sum (App. A.6): subtract a fixed offset,
+                # floored at zero, instead of multiplicative normalization.
+                new_cv = (sign_prod * sgn) * jnp.maximum(exc_min - beta, 0.0)
+            else:
+                new_cv = alpha * (sign_prod * sgn) * exc_min
         elif method == "spa":
             ph = jnp.where(cmask[None], _phi(mag), 0.0)
             ph_sum = jnp.sum(ph, axis=-1, keepdims=True)

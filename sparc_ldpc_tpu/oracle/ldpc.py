@@ -17,7 +17,7 @@ from ..design.ldpc_codes import LdpcCode, Adjacency, adjacency
 
 def bp_decode(llr: np.ndarray, code: LdpcCode, iters: int = 64,
               method: str = "minsum", alpha: float = 0.8125,
-              clip: float = 20.0,
+              beta: float = 0.15, clip: float = 20.0,
               adj: Optional[Adjacency] = None) -> Tuple[np.ndarray, np.ndarray, int]:
     """Flooding BP on one codeword.
 
@@ -40,14 +40,17 @@ def bp_decode(llr: np.ndarray, code: LdpcCode, iters: int = 64,
         sign = np.where(adj.check_mask, np.sign(m_vc + (m_vc == 0)), 1.0)
         sign_prod = np.prod(sign, axis=1, keepdims=True)
         mag = np.abs(m_vc)
-        if method == "minsum":
+        if method in ("minsum", "oms"):
             # exclude-self min via (min1, min2)
             order = np.argsort(mag, axis=1)
             min1 = np.take_along_axis(mag, order[:, :1], axis=1)
             min2 = np.take_along_axis(mag, order[:, 1:2], axis=1)
             is_min1 = mag == min1
             exc_min = np.where(is_min1, min2, min1)
-            new_cv = alpha * (sign_prod * sign) * exc_min
+            if method == "oms":
+                new_cv = (sign_prod * sign) * np.maximum(exc_min - beta, 0.0)
+            else:
+                new_cv = alpha * (sign_prod * sign) * exc_min
         elif method == "spa":
             phi = _phi(np.where(adj.check_mask, mag, np.inf))
             phi_sum = np.sum(np.where(adj.check_mask, phi, 0.0), axis=1,

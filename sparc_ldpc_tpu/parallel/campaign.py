@@ -104,7 +104,11 @@ def run_campaign(
     for pi, ebno in enumerate(cfg.ebno_grid_db):
         model = model_for_point(ebno)
         pkey = rngu.point_key(base, pi)
-        tot = run_point(model.run_block, pkey, cfg.batch,
+        # prefer a staged runner when the model provides one (ConcatModel:
+        # three bounded jits beat the monolith in compile AND steady-state —
+        # docs/PERF.md); counters are identical (test_parallel).
+        run_block = getattr(model, "run_block_staged", model.run_block)
+        tot = run_point(run_block, pkey, cfg.batch,
                         cfg.min_frame_errors, cfg.max_trials,
                         state=state, point_idx=pi, policy=policy,
                         is_proc0=is_proc0)

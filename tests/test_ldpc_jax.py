@@ -31,9 +31,9 @@ def test_device_encoder_matches_host(lmodel, rng):
     assert not syn.any()
 
 
-@pytest.mark.parametrize("method", ["minsum", "spa"])
+@pytest.mark.parametrize("method", ["minsum", "oms", "spa"])
 def test_bp_parity_vs_oracle(method, rng):
-    """Same LLRs -> same hard outputs as the oracle, for BOTH schedules."""
+    """Same LLRs -> same hard outputs as the oracle, for ALL variants."""
     lm = LdpcModel.build(LCFG.replace(decoder=method))
     B = 4
     sigma = 0.55
@@ -45,11 +45,11 @@ def test_bp_parity_vs_oracle(method, rng):
     for b in range(B):
         hard_o, _, _ = oracle_bp(
             llr[b], lm.code, iters=LCFG.bp_iters, method=method,
-            alpha=LCFG.alpha, clip=LCFG.llr_clip)
+            alpha=LCFG.alpha, beta=LCFG.beta, clip=LCFG.llr_clip)
         np.testing.assert_array_equal(np.asarray(res.hard[b]), hard_o)
 
 
-@pytest.mark.parametrize("method", ["minsum", "spa"])
+@pytest.mark.parametrize("method", ["minsum", "oms", "spa"])
 def test_bp_decodes_and_early_stops(method, rng):
     lm = LdpcModel.build(LCFG.replace(decoder=method))
     B = 6
