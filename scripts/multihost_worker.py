@@ -35,9 +35,12 @@ def main():
     from sparc_ldpc_tpu.parallel.mesh import ShardingPolicy, make_mesh
     from sparc_ldpc_tpu.utils import rng as rngu
 
-    cfg = SparcConfig(L=32, M=64, R=1.0, op_kind="hadamard", amp_iters=8)
-    mesh = make_mesh(section_shards=1)          # all global devices on 'data'
-    policy = ShardingPolicy(mesh, section_axis=None)
+    sec = int(os.environ.get("SPARC_SECTION_SHARDS", "1"))
+    cfg = SparcConfig(L=32, M=64, R=1.0, op_kind="hadamard", amp_iters=8,
+                      fwht_dist=os.environ.get("SPARC_FWHT_DIST", "gspmd"))
+    mesh = make_mesh(section_shards=sec)        # global devices: data x section
+    policy = ShardingPolicy(mesh,
+                            section_axis="section" if sec > 1 else None)
     model = SparcModel.build(cfg, ebno_db=5.0, policy=policy)
 
     batch = 8

@@ -57,3 +57,43 @@ def test_two_process_counters_match_single():
     one_proc = json.loads(r.stdout.strip().splitlines()[-1])
 
     assert two_proc == one_proc
+
+
+@pytest.mark.slow
+def test_two_process_section_sharded_collective_matches_single():
+    """2 processes x section sharding with the hand ppermute FWHT
+    (fwht_dist="collective") == single-process unsharded counters: the
+    cross-PROCESS collective path of parallel.dist_fwht."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "scripts", "multihost_worker.py")
+    port = _free_port()
+
+    def env_for(pid, nproc, extra=None):
+        env = dict(os.environ)
+        env.update(SPARC_COORD=f"localhost:{port}", SPARC_NPROC=str(nproc),
+                   SPARC_PROC_ID=str(pid))
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        env.update(extra or {})
+        return env
+
+    extra = {"SPARC_SECTION_SHARDS": "2", "SPARC_FWHT_DIST": "collective"}
+    procs = [subprocess.Popen([sys.executable, worker],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, env=env_for(pid, 2, extra))
+             for pid in range(2)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{se[-2000:]}"
+    sharded = json.loads(outs[0][0].strip().splitlines()[-1])
+
+    port2 = _free_port()
+    env = env_for(0, 1)
+    env["SPARC_COORD"] = f"localhost:{port2}"
+    r = subprocess.run([sys.executable, worker], capture_output=True,
+                       text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    single = json.loads(r.stdout.strip().splitlines()[-1])
+
+    assert sharded == single
