@@ -5,7 +5,6 @@ iteration/codeword go?  Variants replace one stage with a near-free stand-in
 Usage: python scripts/kernel_ablation.py
 """
 
-import functools
 import math
 import sys
 import time

@@ -16,7 +16,6 @@ All variants decode for real (sec_err printed) so mis-implementations show.
 Usage: python scripts/lstage_exp.py [variants...]
 """
 
-import functools
 import math
 import sys
 import time

@@ -148,7 +148,6 @@ def main():
     op, sq = model.op, model.sq_npl
 
     def block(keys):
-        import sparc_ldpc_tpu.models.sparc as S
         bits = jax.vmap(lambda k: jax.random.bernoulli(
             jax.random.fold_in(k, 0), 0.5, (cfg.k_bits,)))(keys).astype(jnp.int32)
         x = model.encode(bits)

@@ -99,10 +99,10 @@ def cmd_campaign(args) -> int:
     if args.fused:
         if isinstance(cfg, ConcatConfig):
             cfg = cfg.replace(sparc=cfg.sparc.replace(
-                amp_kernel="fused", amp_tol=0.0,
+                amp_kernel="fused_split", amp_tol=0.0,
                 transform_precision="bf16"))
         else:
-            cfg = cfg.replace(amp_kernel="fused", amp_tol=0.0,
+            cfg = cfg.replace(amp_kernel="fused_split", amp_tol=0.0,
                               transform_precision="bf16")
     grid = tuple(args.ebno) if args.ebno else (1.5, 2.0, 2.5, 3.0)
     ccfg = CampaignConfig(ebno_grid_db=grid, batch=args.batch,

@@ -19,13 +19,13 @@ semantics to the oracle's `break`).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..design.ldpc_codes import Adjacency, LdpcCode, adjacency
+from ..design.ldpc_codes import Adjacency, adjacency
 
 
 class BpTables(NamedTuple):

@@ -18,11 +18,9 @@ over the sharded batch axis -> GSPMD psum over 'data').
 from __future__ import annotations
 
 import time
-from dataclasses import asdict
 from typing import Callable, Dict, List, Optional
 
 import jax
-import numpy as np
 
 from ..config import CampaignConfig
 from ..utils import io as iou
