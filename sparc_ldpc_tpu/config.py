@@ -175,8 +175,10 @@ class LdpcConfig:
 
     Attributes:
       kind: "array" (deterministic array/QC-LDPC: H[j,l] = circulant shift
-        j*l mod Z, Z prime), "regular" (seeded PEG-like (dv,dc)-regular), or
-        "alist" (load from path).
+        j*l mod Z, Z prime), "regular" (seeded PEG-like (dv,dc)-regular),
+        "alist" (load from path), or "qc" (generic QC base-matrix file at
+        `path` — the publication format of the 802.11n/802.16e families,
+        SURVEY.md §2 #16).
       z: circulant size for "array" (prime).
       rows_b, cols_b: base-matrix dimensions for "array" (J x K circulant
         blocks -> (J*Z, K*Z) binary H).
@@ -190,6 +192,13 @@ class LdpcConfig:
       beta: offset for "oms" (App. A.6).
       bp_iters: max flooding iterations.
       llr_clip: LLR clipping bound for f32 stability.
+      engine: BP message layout — "edge" (padded-dense adjacency, any H;
+        ops.bp), "qc" (circulant (B,J,K,Z) tensors + static Z-gathers,
+        QC codes only; ops.bp_qc), or "auto" (qc when the code is
+        quasi-cyclic).  Flooding messages are engine-identical
+        (parity-tested); pick per config from on-chip A/B (docs/PERF.md).
+      schedule: "flooding" or "layered" (row-layered MPA, ~2x fewer
+        iterations; requires the qc engine).
     """
 
     kind: str = "array"
@@ -206,12 +215,20 @@ class LdpcConfig:
     beta: float = 0.15
     bp_iters: int = 64
     llr_clip: float = 20.0
+    engine: str = "edge"
+    schedule: str = "flooding"
 
     def __post_init__(self):
-        if self.kind not in ("array", "regular", "alist"):
+        if self.kind not in ("array", "regular", "alist", "qc"):
             raise ValueError(f"unknown ldpc kind {self.kind!r}")
         if self.decoder not in ("minsum", "oms", "spa"):
             raise ValueError(f"unknown decoder {self.decoder!r}")
+        if self.engine not in ("edge", "qc", "auto"):
+            raise ValueError(f"unknown bp engine {self.engine!r}")
+        if self.schedule not in ("flooding", "layered"):
+            raise ValueError(f"unknown bp schedule {self.schedule!r}")
+        if self.schedule == "layered" and self.engine == "edge":
+            raise ValueError("layered schedule requires the qc engine")
 
     def replace(self, **kw) -> "LdpcConfig":
         return dataclasses.replace(self, **kw)

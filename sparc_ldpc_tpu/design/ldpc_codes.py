@@ -10,6 +10,14 @@ unverifiable (SURVEY.md §0, K-low), so codes are pluggable:
   - "regular": seeded (dv, dc)-regular Gallager-style construction with
                column-permuted stacked blocks, 4-cycle reduction pass.
   - "alist":   standard alist text format loader.
+  - "qc":      generic QC-LDPC from a base-matrix text file (first line Z,
+               then J rows of K shifts, -1 = zero block) — the format
+               standard codes (802.11n/802.16e families, SURVEY.md §2 #16)
+               are published in.
+
+Codes with circulant structure ("array", "qc") additionally expose their
+(J, K) shift matrix via `qc_structure`, enabling the roll-based BP engine
+(ops.bp_qc) and its layered schedule.
 
 The parity-check matrix H is reduced host-side (GF(2) Gauss-Jordan with
 column pivoting) to derive a systematic generator G; both the NumPy oracle
@@ -157,6 +165,46 @@ def regular_code_H(n: int, dv: int, dc: int, seed: int = 0) -> np.ndarray:
     return H
 
 
+def qc_base_H(shifts: np.ndarray, Z: int) -> np.ndarray:
+    """Expand a (J, K) circulant-shift base matrix into dense binary H.
+
+    shift s >= 0 -> np.roll(I_Z, s, axis=1) (row zc has its one at column
+    (zc + s) mod Z, matching ops.bp_qc's gather convention); s == -1 ->
+    zero block.
+    """
+    shifts = np.asarray(shifts, dtype=np.int64)
+    J, K = shifts.shape
+    I = np.eye(Z, dtype=np.uint8)
+    zero = np.zeros((Z, Z), dtype=np.uint8)
+    blocks = [[np.roll(I, int(s), axis=1) if s >= 0 else zero
+               for s in row] for row in shifts]
+    return np.block(blocks).astype(np.uint8)
+
+
+def load_qc_base(path: str) -> Tuple[np.ndarray, int]:
+    """Parse a QC base-matrix file: line 1 = Z, then J rows of K shifts."""
+    with open(path) as f:
+        lines = [ln.split() for ln in f
+                 if ln.strip() and not ln.lstrip().startswith("#")]
+    Z = int(lines[0][0])
+    shifts = np.array([[int(t) for t in row] for row in lines[1:]],
+                      dtype=np.int64)
+    if np.any(shifts >= Z):
+        raise ValueError(f"shift >= Z={Z} in {path}")
+    return shifts, Z
+
+
+def qc_structure(cfg: LdpcConfig) -> Optional[Tuple[np.ndarray, int]]:
+    """(shifts, Z) when the configured code is quasi-cyclic, else None."""
+    if cfg.kind == "array":
+        j = np.arange(cfg.rows_b)[:, None]
+        l = np.arange(cfg.cols_b)[None, :]
+        return (j * l) % cfg.z, cfg.z
+    if cfg.kind == "qc":
+        return load_qc_base(cfg.path)
+    return None
+
+
 def load_alist(path: str) -> np.ndarray:
     """Standard alist format -> dense uint8 H.
 
@@ -185,6 +233,8 @@ def build_code(cfg: LdpcConfig) -> LdpcCode:
         H = regular_code_H(cfg.n_bits, cfg.dv, cfg.dc, cfg.seed)
     elif cfg.kind == "alist":
         H = load_alist(cfg.path)
+    elif cfg.kind == "qc":
+        H = qc_base_H(*load_qc_base(cfg.path))
     else:
         raise ValueError(cfg.kind)
     return systematize(H)

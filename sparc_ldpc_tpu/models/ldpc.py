@@ -16,8 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LdpcConfig
-from ..design.ldpc_codes import LdpcCode, adjacency, build_code
+from ..design.ldpc_codes import LdpcCode, adjacency, build_code, qc_structure
 from ..ops.bp import BpResult, BpTables, bp_decode
+from ..ops.bp_qc import QcBpTables, bp_decode_qc
 
 
 @dataclass(frozen=True)
@@ -28,16 +29,22 @@ class LdpcModel:
     H: jax.Array                    # (m, n) int8 device parity-check
     tables: BpTables
     msg_pos: jax.Array              # (k,) message positions in codeword
+    qc_tables: Optional[QcBpTables] = None
 
     @staticmethod
     def build(cfg: LdpcConfig) -> "LdpcModel":
         code = build_code(cfg)
+        qc = qc_structure(cfg)
+        if cfg.engine == "qc" and qc is None:
+            raise ValueError(f"bp engine 'qc' needs a QC code, got "
+                             f"kind={cfg.kind!r}")
         return LdpcModel(
             cfg=cfg, code=code,
             G=jnp.asarray(code.G, dtype=jnp.int8),
             H=jnp.asarray(code.H, dtype=jnp.int8),
             tables=BpTables.build(code),
-            msg_pos=jnp.asarray(code.message_positions, dtype=jnp.int32))
+            msg_pos=jnp.asarray(code.message_positions, dtype=jnp.int32),
+            qc_tables=QcBpTables.build(*qc) if qc is not None else None)
 
     @property
     def k(self) -> int:
@@ -54,6 +61,14 @@ class LdpcModel:
         return (prod & 1).astype(jnp.int32)
 
     def decode(self, llr: jax.Array, iters: Optional[int] = None) -> BpResult:
+        use_qc = (self.cfg.engine == "qc"
+                  or (self.cfg.engine == "auto" and self.qc_tables is not None))
+        if use_qc:
+            return bp_decode_qc(llr, self.qc_tables,
+                                iters=iters or self.cfg.bp_iters,
+                                method=self.cfg.decoder, alpha=self.cfg.alpha,
+                                beta=self.cfg.beta, clip=self.cfg.llr_clip,
+                                schedule=self.cfg.schedule)
         return bp_decode(llr, self.tables,
                          iters=iters or self.cfg.bp_iters,
                          method=self.cfg.decoder, alpha=self.cfg.alpha,

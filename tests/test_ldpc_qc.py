@@ -1,0 +1,125 @@
+"""QC-circulant BP engine tests (ops.bp_qc; SURVEY.md §7 hard-part 3).
+
+The flooding schedule must be message-identical to the padded-dense edge
+engine on the same graph (same update order, same rules); layered is a
+different schedule, so it is anchored by fixed-point + decode-success tests
+and a convergence-speed comparison instead.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sparc_ldpc_tpu.config import LdpcConfig
+from sparc_ldpc_tpu.design.ldpc_codes import (
+    build_code, qc_base_H, qc_structure)
+from sparc_ldpc_tpu.models.ldpc import LdpcModel
+from sparc_ldpc_tpu.ops.bp import BpTables, bp_decode
+from sparc_ldpc_tpu.ops.bp_qc import QcBpTables, bp_decode_qc
+
+
+LCFG = LdpcConfig(kind="array", z=13, rows_b=3, cols_b=12, bp_iters=48)
+
+
+def _noisy_llrs(cfg, rng, B, sigma):
+    code = build_code(cfg)
+    u = rng.integers(0, 2, (B, code.k)).astype(np.uint8)
+    cw = code.encode(u)
+    y = (1.0 - 2.0 * cw) + sigma * rng.standard_normal((B, code.n))
+    return code, cw, jnp.asarray(2.0 * y / sigma**2, dtype=jnp.float32)
+
+
+def test_qc_structure_matches_dense_H():
+    """The (shifts, Z) view and the dense array-code H are the same graph."""
+    shifts, Z = qc_structure(LCFG)
+    H = qc_base_H(shifts, Z)
+    code = build_code(LCFG)
+    np.testing.assert_array_equal(H, code.H)
+
+
+@pytest.mark.parametrize("method", ["minsum", "oms", "spa"])
+def test_qc_flooding_parity_vs_edge_engine(method, rng):
+    """Flooding QC == padded-dense edge engine: same decisions, posteriors,
+    early-stop iteration counts, ok flags (identical message schedule)."""
+    code, _, llr = _noisy_llrs(LCFG, rng, B=6, sigma=0.6)
+    edge = bp_decode(llr, BpTables.build(code), iters=LCFG.bp_iters,
+                     method=method)
+    qc = bp_decode_qc(llr, QcBpTables.build(*qc_structure(LCFG)),
+                      iters=LCFG.bp_iters, method=method)
+    np.testing.assert_array_equal(np.asarray(qc.hard), np.asarray(edge.hard))
+    np.testing.assert_array_equal(np.asarray(qc.ok), np.asarray(edge.ok))
+    np.testing.assert_array_equal(np.asarray(qc.iters),
+                                  np.asarray(edge.iters))
+    np.testing.assert_allclose(np.asarray(qc.posterior),
+                               np.asarray(edge.posterior), rtol=2e-5,
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("method", ["minsum", "spa"])
+def test_layered_decodes_and_is_faster(method, rng):
+    """Layered BP decodes the same noisy batch and needs fewer iterations
+    than flooding (the standard ~2x layered-convergence advantage)."""
+    code, cw, llr = _noisy_llrs(LCFG, rng, B=8, sigma=0.5)
+    t = QcBpTables.build(*qc_structure(LCFG))
+    fl = bp_decode_qc(llr, t, iters=LCFG.bp_iters, method=method,
+                      schedule="flooding")
+    ly = bp_decode_qc(llr, t, iters=LCFG.bp_iters, method=method,
+                      schedule="layered")
+    assert np.all(np.asarray(ly.ok))
+    np.testing.assert_array_equal(np.asarray(ly.hard), cw)
+    assert int(np.sum(np.asarray(ly.iters))) < int(
+        np.sum(np.asarray(fl.iters)))
+
+
+def test_layered_noiseless_fixed_point(rng):
+    """On very confident correct LLRs, layered BP stops immediately with the
+    codeword (syndrome satisfied after the first sweep)."""
+    code = build_code(LCFG)
+    u = rng.integers(0, 2, (3, code.k)).astype(np.uint8)
+    cw = code.encode(u)
+    llr = jnp.asarray((1.0 - 2.0 * cw) * 15.0, dtype=jnp.float32)
+    res = bp_decode_qc(llr, QcBpTables.build(*qc_structure(LCFG)),
+                       iters=16, schedule="layered")
+    np.testing.assert_array_equal(np.asarray(res.hard), cw)
+    assert np.all(np.asarray(res.iters) == 1)
+
+
+def test_model_dispatch_and_auto_engine(rng):
+    """LdpcModel routes decode through the QC engine when configured; auto
+    resolves to qc for QC codes; layered+edge is rejected at config time."""
+    code, cw, llr = _noisy_llrs(LCFG, rng, B=4, sigma=0.5)
+    for engine, schedule in [("qc", "flooding"), ("auto", "layered")]:
+        lm = LdpcModel.build(LCFG.replace(engine=engine, schedule=schedule))
+        assert lm.qc_tables is not None
+        res = lm.decode(llr)
+        assert np.all(np.asarray(res.ok))
+        np.testing.assert_array_equal(np.asarray(res.hard), cw)
+    with pytest.raises(ValueError):
+        LCFG.replace(engine="edge", schedule="layered")
+    with pytest.raises(ValueError):
+        LdpcModel.build(LdpcConfig(kind="regular", n_bits=156, dv=3, dc=6,
+                                   engine="qc"))
+
+
+def test_qc_base_file_roundtrip(tmp_path, rng):
+    """Generic QC base-matrix file: load -> valid code -> QC BP decodes."""
+    shifts, Z = qc_structure(LCFG)
+    shifts = shifts.copy()
+    shifts[0, 0] = -1          # a zero block, exercising the block mask
+    path = tmp_path / "base.qc"
+    lines = [f"{Z}"] + [" ".join(str(int(s)) for s in row) for row in shifts]
+    path.write_text("# test base matrix\n" + "\n".join(lines) + "\n")
+
+    cfg = LdpcConfig(kind="qc", path=str(path), engine="auto",
+                     schedule="layered", bp_iters=48)
+    lm = LdpcModel.build(cfg)
+    np.testing.assert_array_equal(lm.code.H, qc_base_H(shifts, Z))
+    u = rng.integers(0, 2, (4, lm.k)).astype(np.uint8)
+    cw = lm.code.encode(u)
+    y = (1.0 - 2.0 * cw) + 0.5 * rng.standard_normal((4, lm.n))
+    res = lm.decode(jnp.asarray(2.0 * y / 0.25, dtype=jnp.float32))
+    assert np.all(np.asarray(res.ok))
+    np.testing.assert_array_equal(np.asarray(res.hard), cw)
