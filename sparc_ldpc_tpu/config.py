@@ -302,7 +302,11 @@ PRESETS = {
         sparc=SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                           op_kind="hadamard", amp_kernel="fused_split",
                           amp_tol=0.0, transform_precision="bf16"),
-        ldpc=LdpcConfig(kind="array", z=31, rows_b=4, cols_b=24),
+        # QC engine + row-layered schedule at half the iteration budget:
+        # layered@32 matches/beats flooding@64 decode quality (scripts/
+        # bp_bench.py A/B, docs/PERF.md) at half the BP compute.
+        ldpc=LdpcConfig(kind="array", z=31, rows_b=4, cols_b=24,
+                        engine="qc", schedule="layered", bp_iters=32),
         f_prot=0.5,
     ),
     # 5. multi-host campaign over an Eb/N0 grid
