@@ -13,7 +13,10 @@ from sparc_ldpc_tpu.config import SparcConfig
 from sparc_ldpc_tpu.design.power import (
     exp_alloc, iterative_alloc, modified_alloc, optimize_modified,
 )
-from sparc_ldpc_tpu.design.se import se_trajectory
+from sparc_ldpc_tpu.design.se import (
+    se_section_error_rate, se_section_success, se_section_success_quad,
+    se_trajectory, se_x,
+)
 from sparc_ldpc_tpu.models.sparc import SparcModel
 
 
@@ -66,6 +69,47 @@ def test_se_tau_schedule_mode_decodes():
     assert model.tau2_schedule.shape == (cfg.amp_iters,)
     out = model.run_trials(jax.random.key(0), batch=4)
     assert int(out["bit_errors"]) == 0
+
+
+def test_se_quadrature_matches_mc():
+    """Gauss-Hermite x(tau2) tracks the MC estimator across the nu range
+    (weak/critical/strong signal) within the MC sampling error."""
+    M = 512
+    rng = np.random.default_rng(3)
+    U = rng.standard_normal((8192, M))
+    nu = np.array([0.5, 2.0, 3.0, 3.5, 4.0, 5.0, 7.0, 10.0])
+    mc = se_section_success(nu, U)
+    quad = se_section_success_quad(nu, M)
+    np.testing.assert_allclose(quad, mc, atol=1.2e-2)
+    # endpoints: uninformative -> 1/M mass; strong signal -> ~1
+    assert abs(se_section_success_quad(np.array([0.0]), M)[0] - 1 / M) < 1e-9
+    assert se_section_success_quad(np.array([20.0]), M)[0] > 0.999
+
+
+def test_se_trajectory_quad_matches_mc():
+    cfg = SparcConfig(L=256, M=512, R=1.0)
+    sigma2 = cfg.sigma2(4.0)
+    p = np.full(cfg.L, cfg.P / cfg.L)
+    tr_mc = se_trajectory(p, cfg.n, cfg.M, sigma2, n_samples=8192)
+    tr_q = se_trajectory(p, cfg.n, cfg.M, sigma2, method="quad")
+    assert abs(tr_q[-1] - tr_mc[-1]) < 0.02 * tr_mc[-1]
+    with pytest.raises(ValueError):
+        se_x(1.0, p, cfg.n, cfg.M, method="nope")
+
+
+def test_se_section_error_rate_predicts_mc_argmax(rng):
+    """The deterministic hard-decision predictor matches a direct MC of
+    P[argmax wrong] (SURVEY.md §4.3 anchor)."""
+    M, n, tau2 = 64, 2304, 1.0
+    p = np.array([4.0, 9.0, 16.0]) / n          # nu = 2, 3, 4
+    pred = se_section_error_rate(p, n, tau2, M)
+    S = 20000
+    U = rng.standard_normal((S, M))
+    for i, nu in enumerate(np.sqrt(n * p / tau2)):
+        wins = (U[:, 0] + nu)[:, None] > U[:, 1:]
+        p_mc = 1.0 - np.mean(np.all(wins, axis=1))
+        se_mc = np.sqrt(p_mc * (1 - p_mc) / S)
+        assert abs(pred[i] - p_mc) < 4 * se_mc + 1e-4, (nu, pred[i], p_mc)
 
 
 def test_cli_se_smoke():
