@@ -16,12 +16,14 @@ Two evaluation backends (SURVEY.md App. A.5 names both):
   - "mc":   vectorized Monte-Carlo with common random numbers (same U draws
     shared across sections and across tau values within one design run),
     which makes the PA search in power.py smooth.  Exact in expectation.
-  - "quad": deterministic Gauss-Hermite quadrature.  The denominator sum
-    S = sum_{j>=2} exp(nu U_j) is approximated by a moment-matched
-    log-normal (exact first two moments of S), reducing the expectation to
-    a 2D Hermite rule over (U_1, log S).  Sample-noise-free (so PA searches
-    are perfectly smooth) and ~100x faster than MC at n_samples=4096;
-    agreement vs MC is tested to <1e-2 across the nu range
+  - "quad": deterministic quadrature via the exact Laplace-transform
+    identity  E[e^A/(e^A+S)] = int_0^inf E[e^A e^{-t e^A}] * phi(t)^{M-1} dt
+    with A = nu(U_1+nu) independent of S = sum_{j>=2} exp(nu U_j) and
+    phi(t) = E[exp(-t e^{nu U})]; both inner expectations are 1D Hermite
+    rules and the t-integral is a trapezoid in u = log t.  No distributional
+    approximation of S (a log-normal moment match was tried first and is off
+    by ~0.17 at mid nu).  Sample-noise-free, so PA searches are perfectly
+    smooth; agreement vs MC is tested to within MC sampling error
     (tests/test_design.py).
 
 Also provides the deterministic hard-decision section-error predictor
@@ -87,12 +89,15 @@ def se_section_success_quad(nu: np.ndarray, M: int,
                             n_nodes: int = 96) -> np.ndarray:
     """Deterministic Gauss-Hermite evaluation of the softmax success mass.
 
-    E[ sigmoid(nu(U1+nu) - log S) ] with S = sum_{j=2}^M exp(nu U_j)
-    approximated as log-normal with the exact mean/variance of S:
-      E S   = (M-1) e^{nu^2/2}
-      Var S = (M-1) (e^{2 nu^2} - e^{nu^2})
-    then a 2D product Hermite rule over (U1, log S).  Degenerates to the
-    exact 1D rule at nu -> 0 and to the argmax form at nu -> inf.
+    Uses 1/(e^A+S) = int_0^inf e^{-t(e^A+S)} dt with A = nu(U1+nu)
+    independent of S = sum_{j=2}^M exp(nu U_j), so
+
+      E[e^A/(e^A+S)] = int  t*g(t) * phi(t)^(M-1)  d(log t),
+      t*g(t) = E_U[ exp(w - e^w) ],  w = nu(U+nu) + log t      (Gumbel bump)
+      phi(t) = E_U[ exp(-t e^{nu U}) ]
+
+    — exact up to Hermite (inner) and trapezoid (outer) quadrature error.
+    Degenerates to 1/M at nu -> 0 and to ~1 at nu -> inf.
     """
     nu = np.atleast_1d(np.asarray(nu, dtype=np.float64))
     x1, w1 = _hermgauss_prob(n_nodes)
@@ -101,17 +106,20 @@ def se_section_success_quad(nu: np.ndarray, M: int,
         if v < 1e-12:
             out[i] = 1.0 / M
             continue
-        mean_s = (M - 1) * np.exp(v * v / 2.0)
-        var_s = (M - 1) * (np.exp(2.0 * v * v) - np.exp(v * v))
-        sig2_log = np.log1p(var_s / mean_s**2)
-        mu_log = np.log(mean_s) - 0.5 * sig2_log
-        log_s = mu_log + np.sqrt(sig2_log) * x1          # (Q,)
-        true_score = v * (x1 + v)                        # (Q,)
-        d = true_score[:, None] - log_s[None, :]         # (Q, Q)
-        sig = np.where(d > 0, 1.0 / (1.0 + np.exp(-np.minimum(d, 60.0))),
-                       np.exp(np.maximum(d, -60.0))
-                       / (1.0 + np.exp(np.maximum(d, -60.0))))
-        out[i] = float(w1 @ sig @ w1)
+        a = v * (x1 + v)                 # (Q,) true-column log scores
+        b = v * x1                       # (Q,) rival-column exponents
+        # t*g(t) has Gumbel bumps at u = -a_i (width O(1)); phi^{M-1} cuts
+        # the integrand above u_c ~ -log(M-1) - v^2/2 + O(1).
+        u_c = -np.log(max(M - 1, 1)) - v * v / 2.0
+        u_lo = -float(np.max(a)) - 12.0
+        u_hi = max(min(-float(np.min(a)), u_c), u_lo) + 15.0
+        n_u = max(400, int((u_hi - u_lo) / 0.15))
+        u = np.linspace(u_lo, u_hi, n_u)                 # (Nu,)
+        wa = np.minimum(a[:, None] + u[None, :], 50.0)   # (Q, Nu)
+        tg = w1 @ np.exp(wa - np.exp(wa))                # (Nu,)
+        wb = np.minimum(b[:, None] + u[None, :], 50.0)
+        phi = np.clip(w1 @ np.exp(-np.exp(wb)), 1e-300, 1.0)
+        out[i] = float(np.trapezoid(tg * np.exp((M - 1) * np.log(phi)), u))
     return out
 
 
