@@ -114,13 +114,16 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
     b_scr[:] = jnp.zeros((L, M), jnp.float32)
     z_scr[:] = jnp.zeros((L, M), jnp.float32)
     trace_ref[0] = jnp.zeros(trace_ref.shape[1:], jnp.float32)
+    # mask*y is loop-invariant: fold it into the aliased y block once so the
+    # loop does one full-tile multiply per residual update instead of two.
+    y_ref[0] = mask * y_ref[0]
 
     def body(t, tau2_prev):
         beta = b_scr[:]
         bnorm2 = jnp.sum(beta * beta)
         coef = jnp.where(t == 0, 0.0, (P - bnorm2 / n) / tau2_prev)
         w = fwht_tile(beta) * inv_sqrt_n
-        z = mask * (y_ref[0] - w) + coef * z_scr[:]
+        z = y_ref[0] - mask * w + coef * z_scr[:]
         z_scr[:] = z
         tau2 = jnp.sum(z * z) / n
         s = fwht_tile(z) * inv_sqrt_n + b_scr[:]
@@ -162,6 +165,8 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
     b_scr[:] = jnp.zeros((L, M), jnp.float32)
     z_scr[:] = jnp.zeros((L, M), jnp.float32)
     trace_ref[0] = jnp.zeros(trace_ref.shape[1:], jnp.float32)
+    # fold the loop-invariant mask*y into the aliased y block once
+    y_ref[0] = mask * y_ref[0]
 
     def body(t, tau2_prev):
         beta = b_scr[:]
@@ -170,7 +175,7 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
         coef = jnp.where(t == 0, 0.0, (P - bnorm2 / n) / tau2_prev)
         # forward transform: W = (H_L @ (beta @ H_M)) / sqrt(n)
         w = _mm(hl_ref[:], _mm(beta, hm_ref[:])) * inv_sqrt_n
-        z = mask * (y_ref[0] - w) + coef * z
+        z = y_ref[0] - mask * w + coef * z
         z_scr[:] = z
         tau2 = jnp.sum(z * z) / n
         # adjoint (self-adjoint transform, same tile)
@@ -198,7 +203,8 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
               P: float, n: int, T: int,
               interpret: bool = False,
               split: bool | None = None,
-              vpu_outer_max: int = 32) -> Tuple[jax.Array, jax.Array]:
+              vpu_outer_max: int = 32,
+              f_b: int = 128) -> Tuple[jax.Array, jax.Array]:
     """Run the fused kernel: returns (beta (B, L, M), tau2_trace (T, B))."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -263,7 +269,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         # outer H_{f_a} runs as VPU tile butterflies when f_a is small
         # (unrolled; A/B'd fastest at L=1024 — docs/PERF.md) and as one
         # matmul on the (f_a, f_b*M) view for large f_a (code-size bound).
-        f_b = 128
+        assert L % f_b == 0, (L, f_b)
         f_a = L // f_b
         vpu_outer = f_a <= vpu_outer_max
         hfa = hadamard_factor(f_a, jnp.bfloat16)
