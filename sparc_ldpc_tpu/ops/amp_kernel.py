@@ -61,6 +61,27 @@ def _fwht_blocks(bs):
             + [ti - ui for ti, ui in zip(t, u)])
 
 
+def _fwht_blocks_inplace(ref, f_a, f_b):
+    """Same transform, applied in place to the f_a row slabs of `ref`.
+
+    H_{f_a} = (H_2)^(x)log2(f_a) applied along each bit axis of the slab
+    index (axis order is immaterial for a Kronecker power), so the result
+    equals the recursive value form — without materializing a concatenated
+    (L, M) temp, which keeps only two slabs live per butterfly instead of
+    the whole tile (matters at the 8 MB L=4096 tile size)."""
+    from jax.experimental import pallas as pl
+
+    d = 1
+    while d < f_a:
+        for i in range(f_a):
+            if i & d == 0:
+                lo, hi = pl.ds(i * f_b, f_b), pl.ds((i + d) * f_b, f_b)
+                a0, a1 = ref[lo, :], ref[hi, :]
+                ref[lo, :] = a0 + a1
+                ref[hi, :] = a0 - a1
+        d *= 2
+
+
 def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
                       f_a: int, f_b: int, vpu_outer: bool,
                       y_ref, mask_ref, hfa_ref, hfb_ref, hm_ref, sq_ref,
@@ -94,9 +115,8 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
                     hfb_ref[:], blk.astype(jnp.bfloat16),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            rows = _fwht_blocks([w_scr[pl.ds(a * f_b, f_b), :]
-                                 for a in range(f_a)])
-            return jnp.concatenate(rows, axis=0)
+            _fwht_blocks_inplace(w_scr, f_a, f_b)
+            return w_scr[:]
         def slab(a, _):
             blk = w_scr[pl.ds(a * f_b, f_b), :]
             w_scr[pl.ds(a * f_b, f_b), :] = jax.lax.dot_general(
