@@ -60,11 +60,13 @@ def main():
                     # 23.3 (B=512) -> 24.5 (B=1024) Mbit/s — PERF.md)
     EBNO = 2.0
     # amp_kernel="fused_split": whole-AMP Pallas mega-kernel — all T
-    # iterations per codeword in VMEM (ops/amp_kernel.py), with the L-axis
-    # Hadamard factor split H_1024 = H_8 (x) H_128 (~2.4x fewer transform
-    # FLOPs).  A/B at B=512: 306 vs 336 ms/block for the monolithic-H_L
-    # fused kernel and 422 ms for the best XLA path, identical decode
-    # quality; parity tests in tests/test_precision.py, history docs/PERF.md.
+    # iterations per codeword in VMEM (ops/amp_kernel.py), with BOTH
+    # Hadamard factors split down to 128-wide MXU tiles
+    # (H_1024 = H_8 (x) H_128 on rows, H_512 = H_4 (x) H_128 on columns;
+    # outer factors as VPU butterflies).  A/B at B=1024: 225 ms/block vs
+    # 354 for the full X @ H_512 M-stage vs 422+ for the best XLA path,
+    # identical decode quality; parity tests in tests/test_precision.py,
+    # history docs/PERF.md.
     cfg = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                       op_kind="hadamard", amp_iters=T, amp_tol=0.0,
                       transform_precision="bf16", amp_kernel="fused_split")

@@ -82,9 +82,27 @@ def _fwht_blocks_inplace(ref, f_a, f_b):
         d *= 2
 
 
+def _fwht_cols_inplace(ref, m_a, m_b):
+    """H_{m_a} across the m_a column blocks of `ref` (each m_b lanes wide),
+    in place — the column-axis mirror of `_fwht_blocks_inplace`.  m_b must
+    be a lane-tile multiple (128) so each slice is Mosaic-aligned."""
+    from jax.experimental import pallas as pl
+
+    d = 1
+    while d < m_a:
+        for j in range(m_a):
+            if j & d == 0:
+                lo, hi = pl.ds(j * m_b, m_b), pl.ds((j + d) * m_b, m_b)
+                a0, a1 = ref[:, lo], ref[:, hi]
+                ref[:, lo] = a0 + a1
+                ref[:, hi] = a0 - a1
+        d *= 2
+
+
 def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
-                      f_a: int, f_b: int, vpu_outer: bool,
-                      y_ref, mask_ref, hfa_ref, hfb_ref, hm_ref, sq_ref,
+                      f_a: int, f_b: int, m_a: int, m_b: int,
+                      vpu_outer: bool,
+                      y_ref, mask_ref, hfa_ref, hfb_ref, hmb_ref, sq_ref,
                       beta_ref, trace_ref,
                       z_scr, b_scr, w_scr):
     """Split variant: the L-axis Hadamard factor is decomposed as
@@ -92,7 +110,11 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
     (H_4096 bf16 is 32 MB and broke Mosaic compile; H_32 + H_128 are KBs).
 
     Transform of the (L, M) tile:
-      1. columns:  X @ H_M
+      1. columns:  H_M = H_{m_a} (x) H_{m_b} — per-column-block
+         X[:, j m_b:(j+1) m_b] @ H_{m_b} matmuls, then H_{m_a} across the
+         column blocks as VPU butterflies (m_a == 1 falls back to one
+         X @ H_M matmul).  m_b = 128 cuts the M-stage MXU MACs/element
+         from M to 128 at the price of log2(m_a) full-tile VPU passes.
       2. row blocks: for each a < f_a: X[a f_b:(a+1) f_b] = H_{f_b} @ block
       3. outer rows: H_{f_a} across the f_a row blocks — either VPU
          butterflies on whole (f_b, M) tiles (`vpu_outer`, unrolled slabs;
@@ -107,7 +129,13 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
     sq = sq_ref[:]
 
     def fwht_tile(x):
-        w_scr[:] = _mm(x, hm_ref[:])
+        if m_a == 1:
+            w_scr[:] = _mm(x, hmb_ref[:])
+        else:
+            for j in range(m_a):
+                cs = pl.ds(j * m_b, m_b)
+                w_scr[:, cs] = _mm(x[:, j * m_b:(j + 1) * m_b], hmb_ref[:])
+            _fwht_cols_inplace(w_scr, m_a, m_b)
         if vpu_outer:
             for a in range(f_a):
                 blk = w_scr[pl.ds(a * f_b, f_b), :]
@@ -224,7 +252,8 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
               interpret: bool = False,
               split: bool | None = None,
               vpu_outer_max: int = 32,
-              f_b: int = 128) -> Tuple[jax.Array, jax.Array]:
+              f_b: int = 128,
+              m_b: int = 0) -> Tuple[jax.Array, jax.Array]:
     """Run the fused kernel: returns (beta (B, L, M), tau2_trace (T, B))."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -291,11 +320,21 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         # matmul on the (f_a, f_b*M) view for large f_a (code-size bound).
         assert L % f_b == 0, (L, f_b)
         f_a = L // f_b
+        if not m_b:
+            # auto: factor H_M down to the 128-lane MXU tile when possible —
+            # A/B at (B,L,M,T)=(1024,1024,512,32): 354 -> 225 ms/block and
+            # compile 212 s -> 3 s vs the monolithic X @ H_512 (docs/PERF.md)
+            m_b = 128 if (M > 128 and M % 128 == 0) else M
+        assert M % m_b == 0, (M, m_b)
+        m_a = M // m_b
+        assert m_a == 1 or m_b % 128 == 0, (M, m_b)
         vpu_outer = f_a <= vpu_outer_max
         hfa = hadamard_factor(f_a, jnp.bfloat16)
         hfb = hadamard_factor(f_b, jnp.bfloat16)
+        hmb = hadamard_factor(m_b, jnp.bfloat16)
         kernel = functools.partial(_amp_kernel_split, T, n, float(P),
-                                   inv_sqrt_n, f_a, f_b, vpu_outer)
+                                   inv_sqrt_n, f_a, f_b, m_a, m_b,
+                                   vpu_outer)
         beta, trace = pl.pallas_call(
             kernel,
             in_specs=tile_specs + [
@@ -303,7 +342,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((f_b, f_b), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((M, M), lambda b: (0, 0),
+                pl.BlockSpec((m_b, m_b), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((L, 1), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -314,7 +353,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
                 pltpu.VMEM((L, M), jnp.float32),
             ],
             **common,
-        )(y_n, mask.astype(jnp.bfloat16), hfa, hfb, hm, sq2)
+        )(y_n, mask.astype(jnp.bfloat16), hfa, hfb, hmb, sq2)
     # unpack padded trace -> (T, B)
     tr = trace.reshape(B, 8 * 128)[:, :T].T
     return beta, tr

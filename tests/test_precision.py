@@ -132,7 +132,7 @@ def test_split_fused_kernel_matches_xla_interpret(vpu_outer):
     y_n = m.op.embed_y(y).reshape(B, L, M)
     kernel = functools.partial(AK._amp_kernel_split, cfg.amp_iters, cfg.n,
                                1.0, 1.0 / math.sqrt(cfg.n), f_a, f_b,
-                               vpu_outer)
+                               1, M, vpu_outer)
     beta, trace = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((B, L, M), jnp.float32),
@@ -166,6 +166,28 @@ def test_split_fused_kernel_matches_xla_interpret(vpu_outer):
                                   np.asarray(jnp.argmax(beta, axis=-1)))
     tr = np.asarray(trace.reshape(B, -1)[:, : cfg.amp_iters]).T
     np.testing.assert_allclose(tr, np.asarray(r_ref.tau2_trace), rtol=2e-2)
+
+
+def test_fused_split_m_split_matches_full_hm_interpret():
+    """Column-split M-stage (H_M = H_{m_a} (x) H_{m_b}, the on-chip default
+    for M > 128) vs the single X @ H_M matmul — same transform, so beta and
+    the tau trace agree to bf16 rounding."""
+    from sparc_ldpc_tpu.ops.amp_kernel import amp_fused
+
+    rng = np.random.default_rng(0)
+    B, L, M, T, P = 2, 64, 256, 6, 1.0
+    n = L * 8
+    y = jnp.asarray(rng.normal(size=(B, L, M)).astype(np.float32))
+    mask = jnp.asarray((rng.random((L, M)) < n / (L * M)).astype(np.float32))
+    sq = jnp.asarray(np.full(L, np.sqrt(n * P / L), np.float32))
+    b_full, t_full = amp_fused(y, mask, sq, P, n, T, interpret=True,
+                               split=True, f_b=16, m_b=M)
+    b_col, t_col = amp_fused(y, mask, sq, P, n, T, interpret=True,
+                             split=True, f_b=16, m_b=128)
+    np.testing.assert_allclose(np.asarray(b_col), np.asarray(b_full),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(t_col), np.asarray(t_full),
+                               rtol=1e-3)
 
 
 def test_fused_split_config_path_matches_xla_interpret():
