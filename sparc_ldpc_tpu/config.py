@@ -294,10 +294,11 @@ PRESETS = {
     "fast_l4096": SparcConfig(L=4096, M=512, R=1.5, power_alloc="iterative",
                               op_kind="hadamard", amp_kernel="fused",
                               amp_tol=0.0, transform_precision="bf16"),
-    # 4. concatenated SPARC+LDPC (see ConcatConfig defaults).  The inner
-    # AMP rides the fused split kernel (2.1x the XLA scan on-chip at
-    # identical counters — docs/PERF.md); the pinned feedback pass falls
-    # back to the XLA scan automatically.
+    # 4. concatenated SPARC+LDPC (see ConcatConfig defaults).  BOTH AMP
+    # passes ride the fused split kernel since round 2: the pinned
+    # decision-feedback pass uses the kernel's pin tensor (App. A.7 step 5),
+    # halving block time vs the XLA feedback scan (71.5 -> 36 ms/block at
+    # B=32; frame/bp counters identical — docs/PERF.md).
     "concat": ConcatConfig(
         sparc=SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                           op_kind="hadamard", amp_kernel="fused_split",

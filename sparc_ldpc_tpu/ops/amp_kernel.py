@@ -99,12 +99,25 @@ def _fwht_cols_inplace(ref, m_a, m_b):
         d *= 2
 
 
+def _unpack_refs(refs, n_in: int, has_sched: bool, has_pin: bool):
+    """Split the positional pallas refs into (inputs, sched, pin, rest).
+
+    The optional SE tau2 schedule (SMEM (T,)) and pin tensor (VMEM
+    (1, L, M); sq*one_hot on pinned rows, zeros elsewhere — App. A.7
+    step 5) are appended to the input list only when present, so the
+    unused cases pay no HBM traffic.
+    """
+    refs = list(refs)
+    ins, refs = refs[:n_in], refs[n_in:]
+    sched = refs.pop(0) if has_sched else None
+    pin = refs.pop(0) if has_pin else None
+    return ins, sched, pin, refs
+
+
 def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
                       f_a: int, f_b: int, m_a: int, m_b: int,
-                      vpu_outer: bool,
-                      y_ref, mask_ref, hfa_ref, hfb_ref, hmb_ref, sq_ref,
-                      beta_ref, trace_ref,
-                      z_scr, b_scr, w_scr):
+                      vpu_outer: bool, has_sched: bool, has_pin: bool,
+                      *refs):
     """Split variant: the L-axis Hadamard factor is decomposed as
     H_L = H_{f_a} (x) H_{f_b}, so no O(L^2) constant is materialized
     (H_4096 bf16 is 32 MB and broke Mosaic compile; H_32 + H_128 are KBs).
@@ -124,6 +137,9 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
     """
     from jax.experimental import pallas as pl
 
+    ((y_ref, mask_ref, hfa_ref, hfb_ref, hmb_ref, sq_ref), sched_ref,
+     pin_ref, (beta_ref, trace_ref, z_scr, b_scr, w_scr)) = _unpack_refs(
+        refs, 6, has_sched, has_pin)
     L, M = b_scr.shape
     mask = mask_ref[:].astype(jnp.float32)
     sq = sq_ref[:]
@@ -173,14 +189,24 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
         w = fwht_tile(beta) * inv_sqrt_n
         z = y_ref[0] - mask * w + coef * z_scr[:]
         z_scr[:] = z
-        tau2 = jnp.sum(z * z) / n
+        if has_sched:
+            tau2 = sched_ref[t]
+        else:
+            tau2 = jnp.sum(z * z) / n
         s = fwht_tile(z) * inv_sqrt_n + b_scr[:]
         # divisions are many-cycle VPU ops: do them once per row/scalar and
         # broadcast the reciprocal as a multiply over the (L, M) tile.
         a = (sq / tau2) * s
         a = a - jnp.max(a, axis=1, keepdims=True)
         e = jnp.exp(a)
-        b_scr[:] = (sq / jnp.sum(e, axis=1, keepdims=True)) * e
+        bnew = (sq / jnp.sum(e, axis=1, keepdims=True)) * e
+        if has_pin:
+            # pinned rows hold sq*one_hot (> 0 somewhere); row sum doubles
+            # as the mask, matching the XLA path's post-denoise override.
+            pv = pin_ref[0]
+            bnew = jnp.where(jnp.sum(pv, axis=1, keepdims=True) > 0.0,
+                             pv, bnew)
+        b_scr[:] = bnew
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         hit = (r_ids * 128 + c_ids) == t
@@ -192,16 +218,18 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
 
 
 def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
-                y_ref, mask_ref, hl_ref, hm_ref, sq_ref,
-                beta_ref, trace_ref,
-                z_scr, b_scr):
+                has_sched: bool, has_pin: bool, *refs):
     """One codeword's full AMP run; grid = (B,).
 
     Refs: y (1, L, M) N-space embedded observation; mask (L, M) 0/1 row
-    support; hl (L, L), hm (M, M) Hadamard factors; sq (L, 1) sqrt(n P_l).
+    support; hl (L, L), hm (M, M) Hadamard factors; sq (L, 1) sqrt(n P_l);
+    optional SE tau2 schedule (SMEM (T,)) and pin tensor (1, L, M).
     Outputs: beta (1, L, M); trace (1, 8, 128) padded tau2 trace.
     Scratch: z (L, M) N-space residual, b (L, M) beta state, both f32.
     """
+    ((y_ref, mask_ref, hl_ref, hm_ref, sq_ref), sched_ref, pin_ref,
+     (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
+        refs, 5, has_sched, has_pin)
     L, M = b_scr.shape
     # NOTE: y_ref is aliased with beta_ref (input_output_aliases) to halve
     # the double-buffered block footprint; copy y into VMEM-scratch-free
@@ -225,14 +253,22 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
         w = _mm(hl_ref[:], _mm(beta, hm_ref[:])) * inv_sqrt_n
         z = y_ref[0] - mask * w + coef * z
         z_scr[:] = z
-        tau2 = jnp.sum(z * z) / n
+        if has_sched:
+            tau2 = sched_ref[t]
+        else:
+            tau2 = jnp.sum(z * z) / n
         # adjoint (self-adjoint transform, same tile)
         s = _mm(hl_ref[:], _mm(z, hm_ref[:])) * inv_sqrt_n + beta
         # per-row reciprocals instead of (L, M) elementwise divisions
         a = (sq / tau2) * s
         a = a - jnp.max(a, axis=1, keepdims=True)
         e = jnp.exp(a)
-        b_scr[:] = (sq / jnp.sum(e, axis=1, keepdims=True)) * e
+        bnew = (sq / jnp.sum(e, axis=1, keepdims=True)) * e
+        if has_pin:
+            pv = pin_ref[0]
+            bnew = jnp.where(jnp.sum(pv, axis=1, keepdims=True) > 0.0,
+                             pv, bnew)
+        b_scr[:] = bnew
         # Mosaic cannot store scalars to VMEM: write the tau2 trace as a
         # masked RMW of the whole (8, 128) tile (4 KB, negligible).
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -253,15 +289,33 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
               split: bool | None = None,
               vpu_outer_max: int = 32,
               f_b: int = 128,
-              m_b: int = 0) -> Tuple[jax.Array, jax.Array]:
-    """Run the fused kernel: returns (beta (B, L, M), tau2_trace (T, B))."""
+              m_b: int = 0,
+              tau2_schedule: jax.Array | None = None,   # (T,) SE schedule
+              pin_val: jax.Array | None = None,         # (B, L, M)
+              ) -> Tuple[jax.Array, jax.Array]:
+    """Run the fused kernel: returns (beta (B, L, M), tau2_trace (T, B)).
+
+    tau2_schedule replaces the online ||z||^2/n estimate with a
+    state-evolution schedule (SMEM constant).  pin_val implements the
+    decision-feedback pinning of App. A.7 step 5: rows holding sq*one_hot
+    are overridden after every denoise, zero rows pass through.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, L, M = y_n.shape
     assert T <= 1024, "trace buffer holds 1024 iterations"
-    hm = hadamard_factor(M, jnp.bfloat16)
     inv_sqrt_n = 1.0 / math.sqrt(n)
+    has_sched = tau2_schedule is not None
+    has_pin = pin_val is not None
+    extra_in, extra_specs = [], []
+    if has_sched:
+        extra_in.append(jnp.asarray(tau2_schedule, jnp.float32))
+        extra_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    if has_pin:
+        extra_in.append(pin_val.astype(jnp.float32))
+        extra_specs.append(pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
+                                        memory_space=pltpu.VMEM))
     common = dict(
         out_shape=(jax.ShapeDtypeStruct((B, L, M), jnp.float32),
                    jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
@@ -296,7 +350,9 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
     use_split = (L > 1024) if split is None else split
     if not use_split:
         hl = hadamard_factor(L, jnp.bfloat16)
-        kernel = functools.partial(_amp_kernel, T, n, float(P), inv_sqrt_n)
+        hm = hadamard_factor(M, jnp.bfloat16)
+        kernel = functools.partial(_amp_kernel, T, n, float(P), inv_sqrt_n,
+                                   has_sched, has_pin)
         beta, trace = pl.pallas_call(
             kernel,
             in_specs=tile_specs + [
@@ -306,18 +362,19 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((L, 1), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + extra_specs,
             scratch_shapes=[
                 pltpu.VMEM((L, M), jnp.float32),
                 pltpu.VMEM((L, M), jnp.float32),
             ],
             **common,
-        )(y_n, mask.astype(jnp.bfloat16), hl, hm, sq2)
+        )(y_n, mask.astype(jnp.bfloat16), hl, hm, sq2, *extra_in)
     else:
         # decompose H_L = H_{f_a} (x) H_{f_b}; no O(L^2) constant.  The
         # outer H_{f_a} runs as VPU tile butterflies when f_a is small
         # (unrolled; A/B'd fastest at L=1024 — docs/PERF.md) and as one
         # matmul on the (f_a, f_b*M) view for large f_a (code-size bound).
+        f_b = min(f_b, L)          # small-L configs: single row factor
         assert L % f_b == 0, (L, f_b)
         f_a = L // f_b
         if not m_b:
@@ -334,7 +391,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         hmb = hadamard_factor(m_b, jnp.bfloat16)
         kernel = functools.partial(_amp_kernel_split, T, n, float(P),
                                    inv_sqrt_n, f_a, f_b, m_a, m_b,
-                                   vpu_outer)
+                                   vpu_outer, has_sched, has_pin)
         beta, trace = pl.pallas_call(
             kernel,
             in_specs=tile_specs + [
@@ -346,14 +403,14 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((L, 1), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + extra_specs,
             scratch_shapes=[
                 pltpu.VMEM((L, M), jnp.float32),
                 pltpu.VMEM((L, M), jnp.float32),
                 pltpu.VMEM((L, M), jnp.float32),
             ],
             **common,
-        )(y_n, mask.astype(jnp.bfloat16), hfa, hfb, hmb, sq2)
+        )(y_n, mask.astype(jnp.bfloat16), hfa, hfb, hmb, sq2, *extra_in)
     # unpack padded trace -> (T, B)
     tr = trace.reshape(B, 8 * 128)[:, :T].T
     return beta, tr

@@ -132,7 +132,7 @@ def test_split_fused_kernel_matches_xla_interpret(vpu_outer):
     y_n = m.op.embed_y(y).reshape(B, L, M)
     kernel = functools.partial(AK._amp_kernel_split, cfg.amp_iters, cfg.n,
                                1.0, 1.0 / math.sqrt(cfg.n), f_a, f_b,
-                               1, M, vpu_outer)
+                               1, M, vpu_outer, False, False)
     beta, trace = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((B, L, M), jnp.float32),
@@ -190,13 +190,80 @@ def test_fused_split_m_split_matches_full_hm_interpret():
                                rtol=1e-3)
 
 
-def test_fused_split_config_path_matches_xla_interpret():
+@pytest.mark.parametrize("split", [False, True])
+def test_fused_pinning_matches_xla_interpret(split):
+    """Decision-feedback pinning (App. A.7 step 5) on the fused kernel vs
+    the XLA scan: pinned rows overridden after every denoise, identical
+    decisions + tau trace (VERDICT round-1 missing #3)."""
+    from sparc_ldpc_tpu.models.amp import amp_decode
+
+    cfg = SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=8,
+                      amp_tol=0.0, transform_precision="bf16")
+    m = SparcModel.build(cfg, ebno_db=5.0)
+    key = jax.random.key(3)
+    B = 3
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                (B, cfg.k_bits)).astype(jnp.int32)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (B, cfg.n))
+    y = m.encode(bits) + noise * np.sqrt(m.sigma2)
+    pin_mask = jnp.asarray(
+        np.random.default_rng(0).random((B, cfg.L)) < 0.4)
+    pin_idx = jax.random.randint(jax.random.fold_in(key, 2), (B, cfg.L),
+                                 0, cfg.M)
+    pin_oh = jax.nn.one_hot(pin_idx, cfg.M, dtype=jnp.float32)
+    kw = dict(T=cfg.amp_iters, tol=0.0, pinned_onehot=pin_oh,
+              pinned_mask=pin_mask)
+    r_xla = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, **kw)
+    r_fus = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, fused=True,
+                       fused_interpret=True, fused_split=split, **kw)
+    np.testing.assert_array_equal(np.asarray(hard_indices(r_xla.beta)),
+                                  np.asarray(hard_indices(r_fus.beta)))
+    np.testing.assert_allclose(np.asarray(r_fus.tau2_trace),
+                               np.asarray(r_xla.tau2_trace), rtol=2e-2)
+    # pinned rows really are the scaled one-hots
+    want = np.asarray(m.sq_npl)[None, :, None] * np.asarray(pin_oh)
+    got = np.asarray(r_fus.beta)
+    pm = np.asarray(pin_mask)
+    np.testing.assert_allclose(got[pm], want[pm], rtol=1e-6)
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_fused_se_schedule_matches_xla_interpret(split):
+    """SE tau2 schedule (SMEM constant) on the fused kernel vs the XLA
+    scan: schedule replaces the online estimate identically."""
+    from sparc_ldpc_tpu.models.amp import amp_decode
+
+    cfg = SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=8,
+                      amp_tol=0.0, transform_precision="bf16")
+    m = SparcModel.build(cfg, ebno_db=5.0)
+    key = jax.random.key(5)
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                (2, cfg.k_bits)).astype(jnp.int32)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (2, cfg.n))
+    y = m.encode(bits) + noise * np.sqrt(m.sigma2)
+    sched = jnp.asarray(
+        np.geomspace(1.0 + m.sigma2, m.sigma2, cfg.amp_iters),
+        dtype=jnp.float32)
+    kw = dict(T=cfg.amp_iters, tol=0.0, tau2_schedule=sched)
+    r_xla = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, **kw)
+    r_fus = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, fused=True,
+                       fused_interpret=True, fused_split=split, **kw)
+    np.testing.assert_array_equal(np.asarray(hard_indices(r_xla.beta)),
+                                  np.asarray(hard_indices(r_fus.beta)))
+    np.testing.assert_allclose(np.asarray(r_fus.tau2_trace),
+                               np.asarray(r_xla.tau2_trace), rtol=1e-6)
+
+
+@pytest.mark.parametrize("L,M", [(256, 64), (64, 256)])
+def test_fused_split_config_path_matches_xla_interpret(L, M):
     """amp_kernel="fused_split" (forced 3-factor split at L <= 1024, the
-    bench default) through the SparcModel path vs the XLA scan."""
-    cfg = SparcConfig(L=256, M=64, R=1.0, op_kind="hadamard", amp_iters=10,
+    bench default) through the SparcModel path vs the XLA scan.  The
+    (64, 256) case exercises the auto column-split M-stage (m_b=128)
+    end-to-end against the XLA ground truth (advisor round-1 finding)."""
+    cfg = SparcConfig(L=L, M=M, R=1.0, op_kind="hadamard", amp_iters=10,
                       amp_tol=0.0, transform_precision="bf16",
                       amp_kernel="fused_split")
-    cfg_x = SparcConfig(L=256, M=64, R=1.0, op_kind="hadamard", amp_iters=10,
+    cfg_x = SparcConfig(L=L, M=M, R=1.0, op_kind="hadamard", amp_iters=10,
                         amp_tol=0.0, transform_precision="bf16")
     m_s, m_x = SparcModel.build(cfg, ebno_db=5.0), SparcModel.build(cfg_x,
                                                                     ebno_db=5.0)
