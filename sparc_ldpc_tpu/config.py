@@ -310,6 +310,18 @@ PRESETS = {
                         engine="qc", schedule="layered", bp_iters=32),
         f_prot=0.5,
     ),
+    # 4b. concat with a published standard outer code: 802.11n n=648 rate
+    # 1/2 QC-LDPC (SURVEY.md §2 #16 names this family as the default
+    # expectation).  648 = 72 sections of logM=9 bits -> Lp=288 protected
+    # sections carry 4 LDPC codewords per frame at f_prot=0.28.
+    "concat_wifi": ConcatConfig(
+        sparc=SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
+                          op_kind="hadamard", amp_kernel="fused_split",
+                          amp_tol=0.0, transform_precision="bf16"),
+        ldpc=LdpcConfig(kind="qc", path="wifi_n648_r12", engine="qc",
+                        schedule="layered", bp_iters=32),
+        f_prot=0.28,
+    ),
     # 5. multi-host campaign over an Eb/N0 grid
     "campaign": CampaignConfig(),
 }

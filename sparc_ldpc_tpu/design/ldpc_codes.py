@@ -181,8 +181,33 @@ def qc_base_H(shifts: np.ndarray, Z: int) -> np.ndarray:
     return np.block(blocks).astype(np.uint8)
 
 
+# Checked-in standard base matrices (SURVEY.md §2 #16: "default to a
+# standard QC-LDPC (e.g. 802.11n/802.16e family)").  Resolved by name via
+# LdpcConfig(kind="qc", path="wifi_n648_r12") — bare names map into the
+# package data dir; real filesystem paths still work.
+STANDARD_CODES = ("wifi_n648_r12", "wifi_n1296_r12", "wifi_n1944_r12")
+
+
+def _resolve_qc_path(path: str) -> str:
+    import os
+    if os.path.exists(path):
+        return path
+    name = path[:-3] if path.endswith(".qc") else path
+    cand = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "data", name + ".qc")
+    if os.path.exists(cand):
+        return cand
+    raise FileNotFoundError(
+        f"QC base matrix {path!r} not found (known standard codes: "
+        f"{', '.join(STANDARD_CODES)})")
+
+
 def load_qc_base(path: str) -> Tuple[np.ndarray, int]:
-    """Parse a QC base-matrix file: line 1 = Z, then J rows of K shifts."""
+    """Parse a QC base-matrix file: line 1 = Z, then J rows of K shifts.
+
+    `path` may be a filesystem path or the bare name of a checked-in
+    standard code (STANDARD_CODES)."""
+    path = _resolve_qc_path(path)
     with open(path) as f:
         lines = [ln.split() for ln in f
                  if ln.strip() and not ln.lstrip().startswith("#")]

@@ -68,16 +68,18 @@ def amp_decode(
     M = ML // L
 
     # Fused whole-AMP Pallas kernel (ops.amp_kernel): all T iterations per
-    # codeword in VMEM.  Guards: eligible operator, single-chip (no policy),
-    # MXU-sized factors.  SE tau schedules ride an SMEM constant and
-    # decision-feedback pinning a per-codeword pin tensor (App. A.7 step 5),
-    # so the concat feedback pass stays on the fused path too.
+    # codeword in VMEM.  Guards: eligible operator, MXU-sized factors.
+    # SE tau schedules ride an SMEM constant and decision-feedback pinning
+    # a per-codeword pin tensor (App. A.7 step 5), so the concat feedback
+    # pass stays on the fused path too.
     # L <= 1024 uses the monolithic H_L kernel; 1024 < L <= 4096 routes to
     # the split variant (H_L = H_fa (x) H_fb — a monolithic H_4096 constant
     # is 32 MB and stalls Mosaic compile, the split compiles in ~40 s and
     # measured ~10x the XLA path at L=4096).  See ops/amp_kernel.py.
-    if (fused and op.mask is not None and policy is None
-            and L <= 4096 and M <= 1024):
+    # Under a mesh policy the kernel composes with sharding
+    # (parallel/amp_sharded.py): pure DP runs the mega-kernel per device;
+    # section-sharded runs the per-iteration Pallas-tile + ppermute loop.
+    if (fused and op.mask is not None and L <= 4096 and M <= 1024):
         from ..ops.amp_kernel import amp_fused
 
         # Pallas needs a real TPU; on the CPU backend (tests, --cpu debug
@@ -90,11 +92,18 @@ def amp_decode(
         if pinned_mask is not None:
             pin_val = jnp.where(pinned_mask[:, :, None],
                                 sq_npl[None, :, None] * pinned_onehot, 0.0)
-        beta3, trace = amp_fused(y_n, mask2d, sq_npl, P, n, T,
-                                 interpret=fused_interpret,
-                                 split=fused_split,
-                                 tau2_schedule=tau2_schedule,
-                                 pin_val=pin_val)
+        if policy is None:
+            beta3, trace = amp_fused(y_n, mask2d, sq_npl, P, n, T,
+                                     interpret=fused_interpret,
+                                     split=fused_split,
+                                     tau2_schedule=tau2_schedule,
+                                     pin_val=pin_val)
+        else:
+            from ..parallel.amp_sharded import amp_fused_sharded
+            beta3, trace = amp_fused_sharded(
+                y_n, mask2d, sq_npl, P, n, T, policy,
+                tau2_schedule=tau2_schedule, pin_val=pin_val,
+                interpret=fused_interpret, fused_split=fused_split)
         post = beta3 / sq_npl[None, :, None]
         scores = jnp.log(jnp.maximum(post, jnp.finfo(y.dtype).tiny))
         return AmpResult(beta=beta3, posteriors=post, scores=scores,

@@ -281,6 +281,95 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
     beta_ref[0] = b_scr[:]
 
 
+def _fwht_tile_kernel(f_a: int, f_b: int, m_a: int, m_b: int, scale: float,
+                      vpu_outer: bool,
+                      x_ref, hfa_ref, hfb_ref, hmb_ref, o_ref, w_scr):
+    """Standalone (l, M) tile transform: H_l (x) H_M via the same factored
+    scheme as the fused AMP kernel (column-block H_{m_b} matmuls + VPU
+    column butterflies; row-slab H_{f_b} matmuls + VPU row butterflies).
+
+    This is the *local* super-stage of the section-sharded fused AMP path
+    (parallel/amp_sharded.py): each device transforms its (L/S, M) slab
+    in VMEM, then the cross-shard H_S factor runs as hypercube ppermute
+    butterflies outside the kernel (SURVEY.md §5 long-context analog).
+    """
+    from jax.experimental import pallas as pl
+
+    l, M = w_scr.shape
+    x = x_ref[:]
+    if m_a == 1:
+        w_scr[:] = _mm(x, hmb_ref[:])
+    else:
+        for j in range(m_a):
+            w_scr[:, pl.ds(j * m_b, m_b)] = _mm(
+                x[:, j * m_b:(j + 1) * m_b], hmb_ref[:])
+        _fwht_cols_inplace(w_scr, m_a, m_b)
+    for a in range(f_a):
+        blk = w_scr[pl.ds(a * f_b, f_b), :]
+        w_scr[pl.ds(a * f_b, f_b), :] = jax.lax.dot_general(
+            hfb_ref[:], blk.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if vpu_outer:
+        _fwht_blocks_inplace(w_scr, f_a, f_b)
+        o_ref[:] = w_scr[:] * scale if scale != 1.0 else w_scr[:]
+    else:
+        w2 = w_scr[:].reshape(f_a, f_b * M)
+        w2 = jax.lax.dot_general(
+            hfa_ref[:], w2.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        w2 = w2.reshape(l, M)
+        o_ref[:] = w2 * scale if scale != 1.0 else w2
+
+
+def fwht_tile_pallas(x: jax.Array,          # (B, l, M)
+                     scale: float = 1.0,
+                     f_b: int = 128,
+                     m_b: int = 0,
+                     vpu_outer_max: int = 32,
+                     interpret: bool = False) -> jax.Array:
+    """Per-codeword Kronecker transform H_l (x) H_M of (B, l, M) tiles
+    (equals the length-l*M FWHT of each row-major-flattened tile)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, l, M = x.shape
+    f_b = min(f_b, l)
+    assert l % f_b == 0, (l, f_b)
+    f_a = l // f_b
+    if not m_b:
+        m_b = 128 if (M > 128 and M % 128 == 0) else M
+    assert M % m_b == 0 and (m_b == M or m_b % 128 == 0), (M, m_b)
+    m_a = M // m_b
+    vpu_outer = f_a <= vpu_outer_max
+    kernel = functools.partial(_fwht_tile_kernel, f_a, f_b, m_a, m_b,
+                               float(scale), vpu_outer)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * l, M), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((l, M), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_a, f_a), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_b, f_b), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_b, m_b), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((l, M), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((l, M), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x.reshape(B * l, M).astype(jnp.float32),
+      hadamard_factor(f_a, jnp.bfloat16),
+      hadamard_factor(f_b, jnp.bfloat16),
+      hadamard_factor(m_b, jnp.bfloat16))
+    return out.reshape(B, l, M)
+
+
 def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
               mask: jax.Array,         # (L, M)
               sq_npl: jax.Array,       # (L,)

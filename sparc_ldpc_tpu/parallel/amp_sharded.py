@@ -1,0 +1,165 @@
+"""Section-sharded fused AMP (VERDICT round-1 missing #1; SURVEY.md §5
+"long-context analog", §2 #24-25).
+
+Round 1 guarded the fused whole-AMP Pallas kernel to single-chip runs, so
+any section-sharded mesh silently fell back to the ~13x slower XLA scan.
+This module composes the two:
+
+- **Pure DP** (section axis absent or size 1): every device runs the
+  unmodified whole-AMP mega-kernel on its local codeword batch under
+  `shard_map` — all T iterations in VMEM, zero collectives until the
+  error-counter psum at the end.
+
+- **Section-sharded** (S > 1 shards of the L axis): per-iteration loop
+  under `shard_map`.  Each device holds the (B_d, L/S, M) slab of the
+  N-space state; per iteration:
+
+    1. local transform: H_{L/S} (x) H_M on the slab — the Pallas tile
+       kernel (ops.amp_kernel.fwht_tile_pallas), factored exactly like the
+       single-chip kernel;
+    2. cross-shard H_S: log2(S) hypercube butterfly stages via `ppermute`
+       (same math as parallel.dist_fwht — H_L = H_S (x) H_{L/S} in
+       Sylvester ordering with contiguous shards);
+    3. residual + Onsager locally; tau2 = psum(||z||^2)/n;
+    4. adjoint = same transform (self-adjoint); sectionwise softmax is
+       fully local (sections are never split across shards);
+    5. ||beta||^2 psum feeds the next Onsager term.
+
+  Collectives per iteration: 2*log2(S) slab ppermutes + 2 scalar psums —
+  exactly the boundary SURVEY.md §3.2 prescribes.  The whole-AMP-in-VMEM
+  trick cannot survive S > 1 (the per-iteration collectives force state
+  through HBM), so the sharded path's win over the XLA scan is the Pallas
+  local transform + XLA-fused elementwise glue.
+
+Supports the same tau2-schedule and decision-feedback pinning inputs as
+the single-chip kernel, so the concat pipeline composes with sharding too.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..ops.amp_kernel import amp_fused, fwht_tile_pallas
+from ..ops.denoiser import denoise
+
+
+def amp_fused_sharded(
+    y_n: jax.Array,                  # (B, L, M) N-space embedded y
+    mask: jax.Array,                 # (L, M) row-support 0/1
+    sq_npl: jax.Array,               # (L,)
+    P_pow: float, n: int, T: int,
+    policy,                          # parallel.mesh.ShardingPolicy
+    tau2_schedule: Optional[jax.Array] = None,   # (T,)
+    pin_val: Optional[jax.Array] = None,         # (B, L, M)
+    interpret: bool = False,
+    fused_split: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused AMP under a ('data','section') mesh.
+
+    Returns (beta (B, L, M) sharded P(data, section, None),
+             tau2_trace (T, B) sharded P(None, data)).
+    """
+    mesh = policy.mesh
+    data_axis = policy.data_axis
+    section_axis = policy.section_axis
+    S = mesh.shape[section_axis] if section_axis is not None else 1
+    B, L, M = y_n.shape
+    inv_sqrt_n = 1.0 / math.sqrt(n)
+    has_sched = tau2_schedule is not None
+    has_pin = pin_val is not None
+    mask = mask.astype(jnp.float32)
+
+    if S == 1:
+        # pure DP: the unmodified mega-kernel per device
+        def local_dp(y_loc, *opt):
+            opt = list(opt)
+            sched = opt.pop(0) if has_sched else None
+            pin = opt.pop(0) if has_pin else None
+            return amp_fused(y_loc, mask, sq_npl, P_pow, n, T,
+                             interpret=interpret, split=fused_split,
+                             tau2_schedule=sched, pin_val=pin)
+
+        in_specs = [P(data_axis, None, None)]
+        args = [y_n]
+        if has_sched:
+            in_specs.append(P())
+            args.append(tau2_schedule)
+        if has_pin:
+            in_specs.append(P(data_axis, None, None))
+            args.append(pin_val)
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh
+        # annotation, so the vma checker cannot see through it.
+        beta3, trace = jax.shard_map(
+            local_dp, mesh=mesh, in_specs=tuple(in_specs),
+            out_specs=(P(data_axis, None, None), P(None, data_axis)),
+            check_vma=False)(*args)
+        return beta3, trace
+
+    assert L % S == 0 and (S & (S - 1)) == 0, (L, S)
+
+    def transform(w, sidx):
+        """Full H_L (x) H_M of the distributed tile: local Pallas tile
+        transform, then the H_S factor as hypercube ppermute butterflies
+        (one bidirectional ICI hop per stage)."""
+        w = fwht_tile_pallas(w, scale=inv_sqrt_n, interpret=interpret)
+        bit = 1
+        while bit < S:
+            perm = [(i, i ^ bit) for i in range(S)]
+            recv = jax.lax.ppermute(w, section_axis, perm=perm)
+            w = jnp.where((sidx & bit) != 0, recv - w, w + recv)
+            bit <<= 1
+        return w
+
+    def local(y_slab, mask_slab, sq_slab, *opt):
+        opt = list(opt)
+        sched = opt.pop(0) if has_sched else None
+        pin = opt.pop(0) if has_pin else None
+        Bd, l, _ = y_slab.shape
+        sidx = jax.lax.axis_index(section_axis)
+        my = mask_slab[None] * y_slab          # loop-invariant mask*y
+
+        def step(state, t):
+            beta, z, tau2_prev = state
+            bnorm2 = jax.lax.psum(
+                jnp.sum(beta * beta, axis=(1, 2)), section_axis)
+            coef = (P_pow - bnorm2 / n) / tau2_prev       # 0 at t=0 (inf)
+            w = transform(beta, sidx)
+            z = my - mask_slab[None] * w + coef[:, None, None] * z
+            if sched is None:
+                tau2 = jax.lax.psum(
+                    jnp.sum(z * z, axis=(1, 2)), section_axis) / n
+            else:
+                tau2 = jnp.full((Bd,), sched[t], dtype=jnp.float32)
+            s = transform(z, sidx) + beta
+            beta, _ = denoise(s, tau2, sq_slab)
+            if pin is not None:
+                beta = jnp.where(
+                    jnp.sum(pin, axis=2, keepdims=True) > 0.0, pin, beta)
+            return (beta, z, tau2), tau2
+
+        beta0 = jnp.zeros((Bd, l, M), jnp.float32)
+        z0 = jnp.zeros((Bd, l, M), jnp.float32)
+        tau20 = jnp.full((Bd,), jnp.inf, jnp.float32)
+        (beta, _, _), trace = jax.lax.scan(
+            step, (beta0, z0, tau20), jnp.arange(T))
+        return beta, trace
+
+    in_specs = [P(data_axis, section_axis, None),
+                P(section_axis, None), P(section_axis)]
+    args = [y_n, mask, sq_npl]
+    if has_sched:
+        in_specs.append(P())
+        args.append(tau2_schedule)
+    if has_pin:
+        in_specs.append(P(data_axis, section_axis, None))
+        args.append(pin_val)
+    beta3, trace = jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=(P(data_axis, section_axis, None),
+                   P(None, data_axis)), check_vma=False)(*args)
+    return beta3, trace

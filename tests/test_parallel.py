@@ -71,6 +71,61 @@ def test_section_sharded_matches_single_device():
     assert got == ref
 
 
+def test_fused_sharded_matches_single_device_fused():
+    """The fused Pallas path composes with sharding (round-2, VERDICT #1):
+    pure-DP (mega-kernel per device) and section-sharded (Pallas tile
+    transform + hypercube ppermute + psum) both reproduce the single-chip
+    fused counters on the same key tree."""
+    cfg = SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=12,
+                      amp_tol=0.0, amp_kernel="fused",
+                      transform_precision="bf16")
+    model = SparcModel.build(cfg, ebno_db=5.0)
+    ref = _counters(model)
+    for shards in (1, 2, 4):
+        mesh = make_mesh(section_shards=shards)
+        pol = ShardingPolicy(
+            mesh, section_axis="section" if shards > 1 else None)
+        model_sh = SparcModel.build(cfg, ebno_db=5.0, policy=pol)
+        with jax.sharding.set_mesh(mesh):
+            got = _counters(model_sh, policy=pol)
+        assert got == ref, (shards, got, ref)
+
+
+def test_fused_sharded_pinned_matches_xla():
+    """Pinning composes with the section-sharded fused path (concat
+    feedback pass at scale): decisions match the XLA scan."""
+    from sparc_ldpc_tpu.models.amp import amp_decode, hard_indices
+
+    cfg = SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=8,
+                      amp_tol=0.0, transform_precision="bf16")
+    m = SparcModel.build(cfg, ebno_db=5.0)
+    key = jax.random.key(3)
+    B = 4
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                (B, cfg.k_bits)).astype(jnp.int32)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (B, cfg.n))
+    y = m.encode(bits) + noise * np.sqrt(m.sigma2)
+    # realistic decision feedback: pin 40% of sections to their TRUE
+    # indices (random pins create near-tie junk where a bf16 rounding flip
+    # can legitimately change an argmax)
+    from sparc_ldpc_tpu.utils.bits import bits_to_indices
+    pin_mask = jnp.asarray(np.random.default_rng(0).random((B, cfg.L)) < 0.4)
+    pin_idx = bits_to_indices(bits, cfg.logM)
+    pin_oh = jax.nn.one_hot(pin_idx, cfg.M, dtype=jnp.float32)
+    kw = dict(T=cfg.amp_iters, tol=0.0, pinned_onehot=pin_oh,
+              pinned_mask=pin_mask)
+    r_xla = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, **kw)
+    mesh = make_mesh(section_shards=2)
+    pol = ShardingPolicy(mesh)
+    with jax.sharding.set_mesh(mesh):
+        r_sh = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, fused=True,
+                          policy=pol, **kw)
+        got = np.asarray(hard_indices(r_sh.beta))
+    np.testing.assert_array_equal(np.asarray(hard_indices(r_xla.beta)), got)
+    np.testing.assert_allclose(np.asarray(r_sh.tau2_trace),
+                               np.asarray(r_xla.tau2_trace), rtol=2e-2)
+
+
 def test_campaign_runs_and_resumes(tmp_path):
     """Restart reproduces identical final counters from the journal
     (SURVEY.md §5 fault-injection design)."""
