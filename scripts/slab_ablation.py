@@ -1,0 +1,223 @@
+"""Ablation of the wide-slab fused AMP kernel: standalone copy with stages
+replaceable by near-free stand-ins (decode garbage for ablated variants —
+timing only).  Variants:
+
+  full        — the real kernel
+  no_radix    — value-form butterfly stages replaced by identity
+  no_mm       — all matmuls replaced by a cheap cast-copy (keeps casts)
+  no_softmax  — exp/max/sum softmax replaced by a linear rescale
+  no_consume  — z-update + softmax both trivial (transforms only)
+  bf16_radix  — butterfly adds done in bf16 (packed VPU experiment)
+
+Usage: python scripts/slab_ablation.py [variants...]
+"""
+
+import functools
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from sparc_ldpc_tpu.config import SparcConfig
+from sparc_ldpc_tpu.models.sparc import SparcModel
+from sparc_ldpc_tpu.ops.fwht import hadamard_factor
+from sparc_ldpc_tpu.ops.amp_kernel import _fwht_blocks, _mm, _mml
+from sparc_ldpc_tpu.utils import rng as rngu
+
+
+def make_kernel(mode, T, n, P, inv_sqrt_n, f_a, f_b, m_a, m_b):
+    fold = mode in ("fold", "fold_sched")
+
+    def kern(y_ref, mask_ref, hfb_ref, hmb_ref, sq_ref,
+             beta_ref, trace_ref, z_scr, b_scr):
+        from jax.experimental import pallas as pl
+
+        L, M = b_scr.shape
+
+        def rs(a):
+            return pl.ds(a * f_b, f_b)
+
+        def cs(j):
+            return pl.ds(j * m_b, m_b)
+
+        def radix(vals):
+            if mode == "no_radix" or len(vals) == 1:
+                return vals
+            if mode == "bf16_radix":
+                vals = [v.astype(jnp.bfloat16) for v in vals]
+                return [v.astype(jnp.float32) for v in _fwht_blocks(vals)]
+            return _fwht_blocks(vals)
+
+        def fwht_slabs(read_tall):
+            if mode == "no_mm":
+                tall = [read_tall(j).astype(jnp.bfloat16).astype(jnp.float32)
+                        for j in range(m_a)]
+            else:
+                tall = [_mm(read_tall(j), hmb_ref[:]) for j in range(m_a)]
+            tall = radix(tall)
+            rows = []
+            for a in range(f_a):
+                lo = a * f_b
+                wide = (tall[0][lo:lo + f_b, :] if m_a == 1 else
+                        jnp.concatenate([t[lo:lo + f_b, :] for t in tall],
+                                        axis=1))
+                if mode == "no_mm":
+                    rows.append(wide.astype(jnp.bfloat16).astype(jnp.float32))
+                else:
+                    rows.append(_mml(hfb_ref[:], wide))
+            return radix(rows)
+
+        b_scr[:] = jnp.zeros((L, M), jnp.float32)
+        z_scr[:] = jnp.zeros((L, M), jnp.float32)
+        trace_ref[0] = jnp.zeros(trace_ref.shape[1:], jnp.float32)
+        if fold:
+            # mask_ref arrives as f32 mask*inv_sqrt_n (premultiplied on
+            # host); y_ref is folded with the raw 0/1 mask at trace time
+            # outside, so in-kernel it just needs masking by sign of m.
+            y_ref[0] = jnp.where(mask_ref[:] > 0.0, y_ref[0], 0.0)
+        else:
+            y_ref[0] = mask_ref[:].astype(jnp.float32) * y_ref[0]
+
+        def body(t, carry):
+            tau2_prev, bnorm2 = carry
+            coef = jnp.where(t == 0, 0.0, (P - bnorm2 / n) / tau2_prev)
+            w = fwht_slabs(lambda j: b_scr[:, cs(j)])
+            tau2_acc = jnp.float32(0.0)
+            for a in range(f_a):
+                if mode == "no_consume":
+                    zt = w[a]
+                elif fold:
+                    zt = (y_ref[0, rs(a), :]
+                          - mask_ref[rs(a), :] * w[a]
+                          + coef * z_scr[rs(a), :])
+                else:
+                    zt = (y_ref[0, rs(a), :]
+                          - mask_ref[rs(a), :].astype(jnp.float32)
+                          * (w[a] * inv_sqrt_n)
+                          + coef * z_scr[rs(a), :])
+                z_scr[rs(a), :] = zt
+                if mode not in ("sched", "fold_sched"):
+                    tau2_acc += jnp.sum(zt * zt)
+            tau2 = (jnp.float32(0.36) if mode in ("sched", "fold_sched")
+                    else tau2_acc / n)
+            sw = fwht_slabs(lambda j: z_scr[:, cs(j)])
+            bnorm2_new = jnp.float32(0.0)
+            for a in range(f_a):
+                sqa = sq_ref[rs(a), :]
+                s = sw[a] * inv_sqrt_n + b_scr[rs(a), :]
+                if mode in ("no_softmax", "no_consume"):
+                    bnew = (sqa / tau2) * s * jnp.float32(1e-3)
+                else:
+                    x = (sqa / tau2) * s
+                    x = x - jnp.max(x, axis=1, keepdims=True)
+                    e = jnp.exp(x)
+                    bnew = (sqa / jnp.sum(e, axis=1, keepdims=True)) * e
+                b_scr[rs(a), :] = bnew
+                bnorm2_new += jnp.sum(bnew * bnew)
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            hit = (r_ids * 128 + c_ids) == t
+            trace_ref[0] = jnp.where(hit, tau2, trace_ref[0])
+            return tau2, bnorm2_new
+
+        jax.lax.fori_loop(0, T, body,
+                          (jnp.float32(jnp.inf), jnp.float32(0.0)))
+        beta_ref[0] = b_scr[:]
+    return kern
+
+
+def run_variant(mode, model, B, T, reps=5):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = model.cfg
+    L, M, n, P = cfg.L, cfg.M, cfg.n, cfg.P
+    f_b, m_b = 128, 128
+    if "f" in mode and "m" in mode and mode.startswith("f"):
+        parts = mode[1:].split("m")
+        f_b, m_b = int(parts[0]), int(parts[1])
+    f_a, m_a = L // f_b, M // m_b
+    kern = make_kernel(mode, T, n, float(P), 1.0 / math.sqrt(n),
+                       f_a, f_b, m_a, m_b)
+    call = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((B, L, M), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, M), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_b, f_b), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_b, m_b), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((L, M), jnp.float32),
+            pltpu.VMEM((L, M), jnp.float32),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    mask2d = model.op.mask.reshape(L, M).astype(jnp.bfloat16)
+    if mode in ("fold", "fold_sched"):
+        mask2d = (model.op.mask.reshape(L, M).astype(jnp.float32)
+                  / math.sqrt(n))
+    hfb = hadamard_factor(f_b, jnp.bfloat16)
+    hmb = hadamard_factor(m_b, jnp.bfloat16)
+    sq2 = model.sq_npl.reshape(L, 1)
+
+    @jax.jit
+    def block(keys):
+        nkeys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+        y = jax.vmap(lambda k: jax.random.normal(k, (L, M)))(nkeys)
+        beta, trace = call(y, mask2d, hfb, hmb, sq2)
+        return jnp.sum(beta * beta), trace
+
+    out = block(rngu.trial_keys(rngu.base_key(999), B))
+    _ = float(out[0])
+    times = []
+    for r in range(reps):
+        keys = rngu.trial_keys(rngu.base_key(r), B)
+        t0 = time.perf_counter()
+        out = block(keys)
+        _ = float(out[0])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main():
+    variants = sys.argv[1:] or ["full", "no_radix", "no_mm", "no_softmax",
+                                "no_consume", "bf16_radix"]
+    B, T = 1024, 32
+    cfg = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
+                      op_kind="hadamard", amp_iters=T, amp_tol=0.0,
+                      transform_precision="bf16", amp_kernel="fused_slab")
+    model = SparcModel.build(cfg, ebno_db=2.0)
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    for mode in variants:
+        t0 = time.perf_counter()
+        med = run_variant(mode, model, B, T)
+        print(f"{mode:11s}: {med*1e3:7.1f} ms/block  "
+              f"{med*1e6/(T*B):5.2f} us/iter/cw  "
+              f"(compile+run {time.perf_counter()-t0:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,7 +99,7 @@ class SparcConfig:
     # "fused_split" forces the 3-factor split transform (H_L = H_fa (x)
     # H_fb) even at L <= 1024 — ~2.4x fewer transform FLOPs; A/B it per
     # config (docs/PERF.md).
-    amp_kernel: str = "xla"         # "xla" | "fused" | "fused_split"
+    amp_kernel: str = "xla"   # "xla" | "fused" | "fused_split" | "fused_slab"
 
     def __post_init__(self):
         if not _is_pow2(self.M):
@@ -121,7 +121,7 @@ class SparcConfig:
         if self.amp_residual_space not in ("n", "N"):
             raise ValueError(
                 f"unknown amp_residual_space {self.amp_residual_space!r}")
-        if self.amp_kernel not in ("xla", "fused", "fused_split"):
+        if self.amp_kernel not in ("xla", "fused", "fused_split", "fused_slab"):
             raise ValueError(f"unknown amp_kernel {self.amp_kernel!r}")
 
     @property

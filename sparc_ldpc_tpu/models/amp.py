@@ -61,6 +61,7 @@ def amp_decode(
     fused: bool = False,
     fused_interpret: bool = False,
     fused_split: Optional[bool] = None,   # None = auto (split iff L > 1024)
+    fused_form: Optional[str] = None,     # "slab" = block-value dataflow kernel
 ) -> AmpResult:
     B = y.shape[0]
     L = sq_npl.shape[0]
@@ -95,7 +96,7 @@ def amp_decode(
         if policy is None:
             beta3, trace = amp_fused(y_n, mask2d, sq_npl, P, n, T,
                                      interpret=fused_interpret,
-                                     split=fused_split,
+                                     split=fused_split, form=fused_form,
                                      tau2_schedule=tau2_schedule,
                                      pin_val=pin_val)
         else:

@@ -94,6 +94,7 @@ class SparcModel:
             residual_space=self.cfg.amp_residual_space,
             fused=self.cfg.amp_kernel.startswith("fused"),
             fused_split=True if self.cfg.amp_kernel == "fused_split" else None,
+            fused_form="slab" if self.cfg.amp_kernel == "fused_slab" else None,
             **amp_kw)
 
     def decode_bits(self, y: jax.Array) -> jax.Array:
@@ -145,7 +146,8 @@ class SparcModel:
             use_pallas_denoiser=self.use_pallas, policy=self.policy,
             residual_space=self.cfg.amp_residual_space,
             fused=self.cfg.amp_kernel.startswith("fused"),
-            fused_split=True if self.cfg.amp_kernel == "fused_split" else None)
+            fused_split=True if self.cfg.amp_kernel == "fused_split" else None,
+            fused_form="slab" if self.cfg.amp_kernel == "fused_slab" else None)
         idx_hat = hard_indices(res.beta)
         bits_hat = indices_to_bits(idx_hat, self.cfg.logM)
         bit_errors = jnp.sum(bits != bits_hat, axis=-1)         # (B,)

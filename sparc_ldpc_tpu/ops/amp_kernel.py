@@ -99,6 +99,123 @@ def _fwht_cols_inplace(ref, m_a, m_b):
         d *= 2
 
 
+def _mml(h, x):
+    """Left-multiply by a bf16 Hadamard factor: h @ x, f32 accumulate."""
+    return jax.lax.dot_general(
+        h, x.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
+                     f_a: int, f_b: int, m_a: int, m_b: int,
+                     has_sched: bool, has_pin: bool, *refs):
+    """Block-value dataflow variant: the whole iteration is expressed on an
+    (f_a, m_a) grid of (f_b, m_b) VALUE tiles, never materializing a full
+    intermediate (L, M) tile in VMEM.
+
+    Why: the staged in-place split kernel costs ~13 full-tile VMEM passes
+    per transform (column matmuls write, 2 column-butterfly RMW passes,
+    row-slab matmul RMW, 3 row-butterfly RMW passes); the measured kernel is
+    VPU/VMEM-bound with the MXU at ~34% (docs/PERF.md).  Here every stage —
+    column-block matmuls, column radix, row-slab matmuls, cross-slab row
+    radix, residual update, softmax — flows value-to-value, so the only
+    mandatory VMEM traffic per iteration is b_scr 2R+1W, z_scr 1R+1W,
+    y 1R, mask 2R (plus whatever Mosaic spills for the cross-slab radix).
+
+    Bitwise identical to the staged split kernel: the value-form butterfly
+    recursion (`_fwht_blocks`) has the same f32 association as the staged
+    in-place stages, and the matmuls are unchanged.
+
+    Softmax row reductions span the m_a column blocks of a slab as
+    max/sum-of-partials; the pin-row indicator is the full-row pin sum
+    (matching the XLA path's post-denoise override, App. A.7 step 5).
+    """
+    from jax.experimental import pallas as pl
+
+    ((y_ref, mask_ref, hfb_ref, hmb_ref, sq_ref), sched_ref, pin_ref,
+     (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
+        refs, 5, has_sched, has_pin)
+    L, M = b_scr.shape
+
+    def rs(a):
+        return pl.ds(a * f_b, f_b)
+
+    def cs(j):
+        return pl.ds(j * m_b, m_b)
+
+    def fwht_slabs(read_tall):
+        """Kronecker transform H_L (x) H_M; input read lazily as m_a TALL
+        (L, m_b) column blocks, output returned as f_a WIDE (f_b, M) row
+        slab values.  Matmul shapes are deliberately large — tall column
+        matmuls stream L rows and wide row matmuls stream M columns through
+        a stationary 128x128 Hadamard factor (an all-(128,128)-tile variant
+        measured 28.5 vs 37.9 Mbit/s: small matmuls forfeit MXU weight
+        reuse).  The radix stages are value-form (`_fwht_blocks`) with the
+        same f32 association as the staged in-place butterflies."""
+        tall = [_mm(read_tall(j), hmb_ref[:]) for j in range(m_a)]
+        if m_a > 1:
+            tall = _fwht_blocks(tall)
+        rows = []
+        for a in range(f_a):
+            lo = a * f_b
+            wide = (tall[0][lo:lo + f_b, :] if m_a == 1 else
+                    jnp.concatenate([tl[lo:lo + f_b, :] for tl in tall],
+                                    axis=1))
+            rows.append(_mml(hfb_ref[:], wide))
+        return _fwht_blocks(rows) if f_a > 1 else rows
+
+    b_scr[:] = jnp.zeros((L, M), jnp.float32)
+    z_scr[:] = jnp.zeros((L, M), jnp.float32)
+    trace_ref[0] = jnp.zeros(trace_ref.shape[1:], jnp.float32)
+    # mask*y is loop-invariant: fold it into the aliased y block once.
+    y_ref[0] = mask_ref[:].astype(jnp.float32) * y_ref[0]
+
+    def body(t, carry):
+        # carrying ||beta||^2 forward from the softmax (where bnew is
+        # already a live value) saves the whole-tile read at loop top.
+        tau2_prev, bnorm2 = carry
+        coef = jnp.where(t == 0, 0.0, (P - bnorm2 / n) / tau2_prev)
+        w = fwht_slabs(lambda j: b_scr[:, cs(j)])
+        zb = [None] * f_a
+        tau2_acc = jnp.float32(0.0)
+        for a in range(f_a):
+            zt = (y_ref[0, rs(a), :]
+                  - mask_ref[rs(a), :].astype(jnp.float32)
+                  * (w[a] * inv_sqrt_n)
+                  + coef * z_scr[rs(a), :])
+            z_scr[rs(a), :] = zt
+            zb[a] = zt
+            tau2_acc += jnp.sum(zt * zt)
+        tau2 = sched_ref[t] if has_sched else tau2_acc / n
+        # the adjoint re-reads z tall from z_scr (just written): one extra
+        # tile read beats restitching tall blocks out of f_a wide values.
+        sw = fwht_slabs(lambda j: z_scr[:, cs(j)])
+        bnorm2_new = jnp.float32(0.0)
+        for a in range(f_a):
+            sqa = sq_ref[rs(a), :]                        # (f_b, 1)
+            s = sw[a] * inv_sqrt_n + b_scr[rs(a), :]
+            x = (sqa / tau2) * s
+            x = x - jnp.max(x, axis=1, keepdims=True)
+            e = jnp.exp(x)
+            bnew = (sqa / jnp.sum(e, axis=1, keepdims=True)) * e
+            if has_pin:
+                pv = pin_ref[0, rs(a), :]
+                bnew = jnp.where(jnp.sum(pv, axis=1, keepdims=True) > 0.0,
+                                 pv, bnew)
+            b_scr[rs(a), :] = bnew
+            bnorm2_new += jnp.sum(bnew * bnew)
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        hit = (r_ids * 128 + c_ids) == t
+        trace_ref[0] = jnp.where(hit, tau2, trace_ref[0])
+        return tau2, bnorm2_new
+
+    jax.lax.fori_loop(0, T, body,
+                      (jnp.float32(jnp.inf), jnp.float32(0.0)))
+    beta_ref[0] = b_scr[:]
+
+
 def _unpack_refs(refs, n_in: int, has_sched: bool, has_pin: bool):
     """Split the positional pallas refs into (inputs, sched, pin, rest).
 
@@ -381,6 +498,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
               m_b: int = 0,
               tau2_schedule: jax.Array | None = None,   # (T,) SE schedule
               pin_val: jax.Array | None = None,         # (B, L, M)
+              form: str | None = None,   # None=auto | "slab"|"split"|"mono"
               ) -> Tuple[jax.Array, jax.Array]:
     """Run the fused kernel: returns (beta (B, L, M), tau2_trace (T, B)).
 
@@ -437,6 +555,40 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
     # transform FLOPs at L=1024, at the price of a narrow f_a-contraction
     # matmul.  A/B-measured via amp_kernel="fused_split" (docs/PERF.md).
     use_split = (L > 1024) if split is None else split
+    if form is None:
+        form = "split" if use_split else "mono"
+    if form == "slab":
+        f_b = min(f_b, L)
+        assert L % f_b == 0, (L, f_b)
+        f_a = L // f_b
+        if not m_b:
+            m_b = 128 if (M > 128 and M % 128 == 0) else M
+        assert M % m_b == 0 and (m_b == M or m_b % 128 == 0), (M, m_b)
+        m_a = M // m_b
+        kernel = functools.partial(_amp_kernel_slab, T, n, float(P),
+                                   inv_sqrt_n, f_a, f_b, m_a, m_b,
+                                   has_sched, has_pin)
+        beta, trace = pl.pallas_call(
+            kernel,
+            in_specs=tile_specs + [
+                pl.BlockSpec((f_b, f_b), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m_b, m_b), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + extra_specs,
+            scratch_shapes=[
+                pltpu.VMEM((L, M), jnp.float32),
+                pltpu.VMEM((L, M), jnp.float32),
+            ],
+            **common,
+        )(y_n, mask.astype(jnp.bfloat16),
+          hadamard_factor(f_b, jnp.bfloat16),
+          hadamard_factor(m_b, jnp.bfloat16),
+          sq_npl.reshape(L, 1), *extra_in)
+        tr = trace.reshape(B, 8 * 128)[:, :T].T
+        return beta, tr
     if not use_split:
         hl = hadamard_factor(L, jnp.bfloat16)
         hm = hadamard_factor(M, jnp.bfloat16)
