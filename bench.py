@@ -67,12 +67,20 @@ def main():
     # 354 for the full X @ H_512 M-stage vs 422+ for the best XLA path,
     # identical decode quality; parity tests in tests/test_precision.py,
     # history docs/PERF.md.
+    # amp_iters_auto: SE-derived per-point iteration budget (round-1
+    # VERDICT item 8).  SE plateaus at t=19 (tol 1e-4) at this operating
+    # point -> T_eff = 22 with margin 3; measured section errors are flat
+    # from T=20 through T=32 (163530 vs 163517 of 1048576 — noise-level;
+    # docs/PERF.md round-2 table), so the shorter budget decodes
+    # identically.  T=32 stays the cap.
     cfg = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                       op_kind="hadamard", amp_iters=T, amp_tol=0.0,
-                      transform_precision="bf16", amp_kernel="fused_split")
+                      transform_precision="bf16", amp_kernel="fused_split",
+                      amp_iters_auto=True)
 
     log(f"devices: {jax.devices()}")
     model = SparcModel.build(cfg, ebno_db=EBNO)
+    log(f"SE-derived iteration budget: T={model.cfg.amp_iters} (cap {T})")
 
     run = jax.jit(model.run_block)
     tkeys = rngu.trial_keys(rngu.base_key(0), B)
@@ -100,7 +108,9 @@ def main():
     tpu_bits_per_s = B * cfg.k_bits / dt
     log(f"tpu: {dt*1e3:.1f} ms/block of {B} -> {tpu_bits_per_s:,.0f} bits/s")
 
-    cpu_bits_per_s = measure_cpu_oracle(cfg, EBNO, T)
+    # the oracle gets the same SE-derived budget — the speedup ratio must
+    # compare equal work (model.cfg.amp_iters is the post-auto value).
+    cpu_bits_per_s = measure_cpu_oracle(cfg, EBNO, model.cfg.amp_iters)
     ratio = tpu_bits_per_s / cpu_bits_per_s
 
     print(json.dumps({

@@ -100,6 +100,15 @@ class SparcConfig:
     # H_fb) even at L <= 1024 — ~2.4x fewer transform FLOPs; A/B it per
     # config (docs/PERF.md).
     amp_kernel: str = "xla"   # "xla" | "fused" | "fused_split" | "fused_slab"
+    # SE-derived per-point iteration budget (SURVEY.md §7 hard-part 4,
+    # round-1 VERDICT item 8): when True, SparcModel.build shrinks
+    # amp_iters to design.se.se_converged_iters(tol=amp_auto_tol,
+    # margin=amp_auto_margin) for its operating point — sweep batches are
+    # SNR-homogeneous, so a converged SE trajectory bounds every codeword
+    # in the block.  amp_iters acts as the cap.
+    amp_iters_auto: bool = False
+    amp_auto_tol: float = 1e-4
+    amp_auto_margin: int = 3
 
     def __post_init__(self):
         if not _is_pow2(self.M):

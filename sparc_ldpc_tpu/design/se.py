@@ -182,3 +182,24 @@ def se_trajectory(p_alloc: np.ndarray, n: int, M: int, sigma2: float,
             break
         tau2 = new
     return np.asarray(trace)
+
+
+def se_converged_iters(p_alloc: np.ndarray, n: int, M: int, sigma2: float,
+                       tol: float = 1e-4, T_max: int = 64, margin: int = 3,
+                       method: str = "mc") -> int:
+    """SE-predicted AMP iteration budget for one operating point
+    (SURVEY.md §7 hard-part 4: sweep batches are SNR-homogeneous, so the
+    per-point budget can come from the deterministic SE recursion instead
+    of a global worst-case T).
+
+    Returns the first t with |tau2_t - tau2_{t-1}| < tol * tau2_t, plus a
+    safety margin, capped at T_max.  At the flagship point (L=1024, M=512,
+    R=1, 2 dB) SE plateaus at t=19 (tol 1e-4) and on-chip section-error
+    counts are flat from T=20 through T=32 (docs/PERF.md round-2 table),
+    so tol=1e-4 + margin 3 is conservative.
+    """
+    trace = se_trajectory(p_alloc, n, M, sigma2, T=T_max, tol=tol,
+                          method=method)
+    # se_trajectory stops at the first plateau step; its length already is
+    # the convergence index + 1 (trace includes tau2_0).
+    return min(int(len(trace) - 1 + margin), T_max)

@@ -53,6 +53,14 @@ class SparcModel:
         sigma2 = cfg.sigma2(ebno_db)
         p = power_allocation(cfg.power_alloc, cfg.L, cfg.P, sigma2,
                              cfg.n, cfg.M, cfg.pa_a, cfg.pa_f)
+        if cfg.amp_iters_auto:
+            from dataclasses import replace
+            from ..design.se import se_converged_iters
+            t_se = se_converged_iters(p, cfg.n, cfg.M, sigma2,
+                                      tol=cfg.amp_auto_tol,
+                                      T_max=cfg.amp_iters,
+                                      margin=cfg.amp_auto_margin)
+            cfg = replace(cfg, amp_iters=t_se)
         sched = None
         if cfg.tau_mode == "se":
             tr = se_trajectory(p, cfg.n, cfg.M, sigma2, T=cfg.amp_iters)

@@ -120,3 +120,35 @@ def test_cli_se_smoke():
     assert r.returncode == 0, r.stderr
     rec = json.loads(r.stdout)
     assert rec["decodes"] is True
+
+
+def test_se_converged_iters_and_auto_budget():
+    """SE-derived per-point iteration budget (round-1 VERDICT item 8).
+
+    At the flagship operating point SE plateaus at t=19 (tol 1e-4), so the
+    auto budget is 22 with margin 3 — the value bench.py runs with; on-chip
+    section errors are flat T=20..32 (docs/PERF.md round-2 table).
+    """
+    from sparc_ldpc_tpu.design.power import power_allocation
+    from sparc_ldpc_tpu.design.se import se_converged_iters
+
+    cfg = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
+                      op_kind="hadamard", amp_iters=32, amp_tol=0.0,
+                      amp_iters_auto=True)
+    sigma2 = cfg.sigma2(2.0)
+    p = power_allocation(cfg.power_alloc, cfg.L, cfg.P, sigma2, cfg.n, cfg.M)
+    t = se_converged_iters(p, cfg.n, cfg.M, sigma2, tol=1e-4, T_max=32,
+                           margin=3)
+    assert 20 <= t <= 26, t
+    model = SparcModel.build(cfg, ebno_db=2.0)
+    assert model.cfg.amp_iters == t
+    # the cap binds: a small cap passes through unchanged
+    cfg_cap = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
+                          op_kind="hadamard", amp_iters=8, amp_tol=0.0,
+                          amp_iters_auto=True)
+    model_cap = SparcModel.build(cfg_cap, ebno_db=2.0)
+    assert model_cap.cfg.amp_iters == 8
+    # easier operating point -> shorter budget
+    t_hi = se_converged_iters(p, cfg.n, cfg.M, cfg.sigma2(4.0), tol=1e-4,
+                              T_max=32, margin=3)
+    assert t_hi < t, (t_hi, t)
