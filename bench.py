@@ -56,8 +56,8 @@ def main():
 
     T = 32          # fixed AMP iteration budget (SE needs 28 iters @ 2 dB —
                     # R=1.0 is only 0.24 dB above the Shannon limit here)
-    B = 1024        # codewords per block (amortizes the ~30 ms relay sync;
-                    # 23.3 (B=512) -> 24.5 (B=1024) Mbit/s — PERF.md)
+    B = 2048        # codewords per block (amortizes the ~30 ms relay sync;
+                    # 50.1 (B=1024) -> 52.8 (B=2048) Mbit/s at T=22 — PERF.md)
     EBNO = 2.0
     # amp_kernel="fused_split": whole-AMP Pallas mega-kernel — all T
     # iterations per codeword in VMEM (ops/amp_kernel.py), with BOTH

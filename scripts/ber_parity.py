@@ -88,14 +88,15 @@ def _worker_init(preset, ebno):
 def _worker_chunk(seeds):
     from sparc_ldpc_tpu.oracle import sparc as osparc
 
-    be = fe = se_ = 0
+    be = fe = se_ = be2 = 0
     for s in seeds:
         r = osparc.run_trial(s, _W["cfg"], _W["ebno"], op=_W["op"],
                              p_alloc=_W["p"])
         be += r["bit_errors"]
+        be2 += r["bit_errors"] ** 2
         fe += r["frame_error"]
         se_ += r["section_errors"]
-    return be, fe, se_, len(seeds)
+    return be, fe, se_, be2, len(seeds)
 
 
 def run_oracle(preset, trials, workers):
@@ -109,23 +110,41 @@ def run_oracle(preset, trials, workers):
             print(f"oracle {preset} @ {ebno}: already done", flush=True)
             continue
         # distinct seed space per point (oracle folds seed into its own
-        # SeedSequence; the TPU path uses an independent fold_in tree)
-        seeds = [pi * 1_000_000 + i for i in range(trials)]
-        chunks = [seeds[i:i + 200] for i in range(0, len(seeds), 200)]
+        # SeedSequence; the TPU path uses an independent fold_in tree).
+        # Chunks are journaled (kind="oracle_chunk") so a killed run
+        # resumes where it stopped — campaign.py's restart discipline.
+        done = {r["chunk"]: r for r in load_records(preset)
+                if r["kind"] == "oracle_chunk"
+                and abs(r["ebno_db"] - ebno) < 1e-9}
+        chunk_sz = 200
+        n_chunks = (trials + chunk_sz - 1) // chunk_sz
+        todo = [c for c in range(n_chunks) if c not in done]
         t0 = time.time()
-        be = fe = se_ = tr = 0
         with ProcessPoolExecutor(
                 max_workers=workers, initializer=_worker_init,
                 initargs=(preset, ebno)) as ex:
-            for r in ex.map(_worker_chunk, chunks):
-                be += r[0]; fe += r[1]; se_ += r[2]; tr += r[3]
-                print(f"  oracle {preset} @ {ebno}: {tr}/{trials} "
-                      f"be={be}", file=sys.stderr, flush=True)
+            seed_chunks = [
+                [pi * 1_000_000 + c * chunk_sz + i
+                 for i in range(min(chunk_sz, trials - c * chunk_sz))]
+                for c in todo]
+            for c, r in zip(todo, ex.map(_worker_chunk, seed_chunks)):
+                append_record(preset, dict(
+                    kind="oracle_chunk", ebno_db=ebno, chunk=c,
+                    bit_errors=r[0], frame_errors=r[1],
+                    section_errors=r[2], bit_errors_sq=r[3], trials=r[4]))
+        done = {r["chunk"]: r for r in load_records(preset)
+                if r["kind"] == "oracle_chunk"
+                and abs(r["ebno_db"] - ebno) < 1e-9}
+        be = sum(r["bit_errors"] for r in done.values())
+        be2 = sum(r["bit_errors_sq"] for r in done.values())
+        fe = sum(r["frame_errors"] for r in done.values())
+        se_ = sum(r["section_errors"] for r in done.values())
+        tr = sum(r["trials"] for r in done.values())
         append_record(preset, dict(
             kind="oracle", ebno_db=ebno, trials=tr, bit_errors=be,
-            frame_errors=fe, section_errors=se_, k_bits=cfg.k_bits,
-            L=cfg.L, ber=be / (tr * cfg.k_bits), fer=fe / tr,
-            ser=se_ / (tr * cfg.L), wall_s=time.time() - t0,
+            bit_errors_sq=be2, frame_errors=fe, section_errors=se_,
+            k_bits=cfg.k_bits, L=cfg.L, ber=be / (tr * cfg.k_bits),
+            fer=fe / tr, ser=se_ / (tr * cfg.L), wall_s=time.time() - t0,
             native_fwht=has_native(), dtype="float64"))
 
 
@@ -153,6 +172,7 @@ def run_tpu(preset, trials, batch):
                 ["bit_errors"])
         compile_s = time.time() - t0
         be = fe = se_ = tr = 0
+        be2 = 0.0
         t0 = time.time()
         for b in range(n_blocks):
             keys = rngu.trial_keys(
@@ -160,12 +180,14 @@ def run_tpu(preset, trials, batch):
                 batch)
             out = run(keys)
             be += int(out["bit_errors"])
+            be2 += float(out["bit_errors_sq"])
             fe += int(out["frame_errors"])
             se_ += int(out["section_errors"])
             tr += batch
         wall = time.time() - t0
         append_record(preset, dict(
             kind="tpu", ebno_db=ebno, trials=tr, bit_errors=be,
+            bit_errors_sq=be2,
             frame_errors=fe, section_errors=se_, k_bits=cfg.k_bits,
             L=cfg.L, ber=be / (tr * cfg.k_bits), fer=fe / tr,
             ser=se_ / (tr * cfg.L), wall_s=wall, compile_s=compile_s,
@@ -205,6 +227,22 @@ def ci(k, n):
     return max(1.96 * math.sqrt(max(p * (1 - p), 0.0) / n), 3.0 / n)
 
 
+def ci_ber(rec):
+    """95% CI half-width on BER with FRAME-level clustering: bit errors
+    within a frame are strongly correlated (whole sections flip, frames
+    sit on one side of the waterfall), so the independent unit is the
+    frame.  sigma^2(BER) = Var(per-frame BER) / trials, from the journaled
+    per-frame second moment; falls back to the (anti-conservative)
+    bit-binomial if the record predates bit_errors_sq."""
+    tr, k = rec["trials"], rec["k_bits"]
+    if "bit_errors_sq" not in rec:
+        return ci(rec["bit_errors"], tr * k)
+    mean_be = rec["bit_errors"] / tr
+    var_be = max(rec["bit_errors_sq"] / tr - mean_be ** 2, 0.0)
+    half = 1.96 * math.sqrt(var_be / tr) / k
+    return max(half, 3.0 / (tr * k))
+
+
 def run_check(presets, strict=True):
     ok = True
     for preset in presets:
@@ -222,10 +260,8 @@ def run_check(presets, strict=True):
                 ok = False
                 continue
             o, t = o[-1], t[-1]
-            no, nt = o["trials"] * o["k_bits"], t["trials"] * t["k_bits"]
             gap = abs(o["ber"] - t["ber"])
-            bound = math.hypot(ci(o["bit_errors"], no),
-                               ci(t["bit_errors"], nt))
+            bound = math.hypot(ci_ber(o), ci_ber(t))
             line = (f"{preset} @ {ebno}: oracle {o['ber']:.3e} "
                     f"tpu {t['ber']:.3e} |gap| {gap:.2e} "
                     f"joint95 {bound:.2e} -> "
@@ -253,8 +289,7 @@ def run_plot(presets):
                 continue
             x = [p[0] for p in pts]
             y = [p[1]["ber"] for p in pts]
-            err = [ci(p[1]["bit_errors"], p[1]["trials"] * p[1]["k_bits"])
-                   for p in pts]
+            err = [ci_ber(p[1]) for p in pts]
             ax.errorbar(x, y, yerr=err, fmt=fmt, capsize=3, label=label)
         pts = sorted(
             {r["ebno_db"]: r for r in recs if r["kind"] == "se"}.items())

@@ -162,6 +162,11 @@ class SparcModel:
         section_errors = jnp.sum(idx_true != idx_hat, axis=-1)  # (B,)
         return dict(
             bit_errors=jnp.sum(bit_errors),
+            # sum of squared per-frame bit errors: bit errors cluster within
+            # frames, so honest BER confidence intervals need the
+            # frame-level second moment, not a bit-level binomial
+            # (scripts/ber_parity.py)
+            bit_errors_sq=jnp.sum(bit_errors.astype(jnp.float32) ** 2),
             frame_errors=jnp.sum(bit_errors > 0),
             section_errors=jnp.sum(section_errors),
             trials=jnp.asarray(batch, dtype=jnp.int32),
