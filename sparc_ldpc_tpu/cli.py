@@ -58,6 +58,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="use the Pallas kernel paths")
     c.add_argument("--fused", action="store_true",
                    help="use the fused whole-AMP mega-kernel (fixed-T)")
+    c.add_argument("--auto-iters", action="store_true",
+                   help="SE-derived per-point AMP iteration budget "
+                        "(amp_iters becomes the cap; design/se.py)")
     c.add_argument("--profile", default=None,
                    help="jax.profiler trace output dir")
     c.add_argument("--distributed", action="store_true",
@@ -104,6 +107,11 @@ def cmd_campaign(args) -> int:
         else:
             cfg = cfg.replace(amp_kernel="fused_split", amp_tol=0.0,
                               transform_precision="bf16")
+    if args.auto_iters:
+        if isinstance(cfg, ConcatConfig):
+            cfg = cfg.replace(sparc=cfg.sparc.replace(amp_iters_auto=True))
+        else:
+            cfg = cfg.replace(amp_iters_auto=True)
     grid = tuple(args.ebno) if args.ebno else (1.5, 2.0, 2.5, 3.0)
     ccfg = CampaignConfig(ebno_grid_db=grid, batch=args.batch,
                           min_frame_errors=args.min_frame_errors,

@@ -108,7 +108,7 @@ class SparcConfig:
     # in the block.  amp_iters acts as the cap.
     amp_iters_auto: bool = False
     amp_auto_tol: float = 1e-4
-    amp_auto_margin: int = 3
+    amp_auto_margin: int = 2
 
     def __post_init__(self):
         if not _is_pow2(self.M):

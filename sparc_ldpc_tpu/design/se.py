@@ -185,8 +185,8 @@ def se_trajectory(p_alloc: np.ndarray, n: int, M: int, sigma2: float,
 
 
 def se_converged_iters(p_alloc: np.ndarray, n: int, M: int, sigma2: float,
-                       tol: float = 1e-4, T_max: int = 64, margin: int = 3,
-                       method: str = "mc") -> int:
+                       tol: float = 1e-4, T_max: int = 64, margin: int = 2,
+                       method: str = "quad") -> int:
     """SE-predicted AMP iteration budget for one operating point
     (SURVEY.md §7 hard-part 4: sweep batches are SNR-homogeneous, so the
     per-point budget can come from the deterministic SE recursion instead
@@ -194,9 +194,13 @@ def se_converged_iters(p_alloc: np.ndarray, n: int, M: int, sigma2: float,
 
     Returns the first t with |tau2_t - tau2_{t-1}| < tol * tau2_t, plus a
     safety margin, capped at T_max.  At the flagship point (L=1024, M=512,
-    R=1, 2 dB) SE plateaus at t=19 (tol 1e-4) and on-chip section-error
+    R=1, 2 dB) SE plateaus at t~20 (tol 1e-4) and on-chip section-error
     counts are flat from T=20 through T=32 (docs/PERF.md round-2 table),
-    so tol=1e-4 + margin 3 is conservative.
+    so tol=1e-4 + margin 2 is conservative.  method="quad" (the exact
+    Laplace-transform quadrature) is the default: deterministic and ~20x
+    cheaper than MC (1.5 s vs 30 s per point at L=1024 — the host-side SE
+    cost lands on every sweep point when amp_iters_auto is on); plateau
+    indices agree with MC to +-1 across the pa_l1024 grid.
     """
     trace = se_trajectory(p_alloc, n, M, sigma2, T=T_max, tol=tol,
                           method=method)

@@ -189,8 +189,10 @@ class SparcSweep:
         self.cfg = cfg
         self.use_pallas = use_pallas
         self.policy = policy
-        self._jitted = None
-        self._base = None
+        # jit cache keyed by the effective iteration count: amp_iters_auto
+        # gives each point its own SE-derived T (a static shape), so points
+        # share compilations per distinct T instead of one global jit.
+        self._jitted = {}
 
     class _Point:
         def __init__(self, sweep, model):
@@ -199,7 +201,7 @@ class SparcSweep:
             self.cfg = model.cfg
 
         def run_block(self, tkeys):
-            return self._sweep._jitted(
+            return self._sweep._jitted[self.cfg.amp_iters](
                 tkeys, self.model.sq_npl,
                 jnp.float32(math.sqrt(self.model.sigma2)))
         run_block._prejitted = True  # campaign must not re-jit
@@ -210,8 +212,7 @@ class SparcSweep:
                                  policy=self.policy)
         if self.cfg.tau_mode != "online":
             return model          # point-specific schedule: per-point jit
-        if self._jitted is None:
-            self._base = model
-            base = model
-            self._jitted = jax.jit(base.run_block_params)
+        t_eff = model.cfg.amp_iters
+        if t_eff not in self._jitted:
+            self._jitted[t_eff] = jax.jit(model.run_block_params)
         return SparcSweep._Point(self, model)

@@ -137,8 +137,7 @@ def test_se_converged_iters_and_auto_budget():
                       amp_iters_auto=True)
     sigma2 = cfg.sigma2(2.0)
     p = power_allocation(cfg.power_alloc, cfg.L, cfg.P, sigma2, cfg.n, cfg.M)
-    t = se_converged_iters(p, cfg.n, cfg.M, sigma2, tol=1e-4, T_max=32,
-                           margin=3)
+    t = se_converged_iters(p, cfg.n, cfg.M, sigma2, tol=1e-4, T_max=32)
     assert 20 <= t <= 26, t
     model = SparcModel.build(cfg, ebno_db=2.0)
     assert model.cfg.amp_iters == t
@@ -150,5 +149,5 @@ def test_se_converged_iters_and_auto_budget():
     assert model_cap.cfg.amp_iters == 8
     # easier operating point -> shorter budget
     t_hi = se_converged_iters(p, cfg.n, cfg.M, cfg.sigma2(4.0), tol=1e-4,
-                              T_max=32, margin=3)
+                              T_max=32)
     assert t_hi < t, (t_hi, t)
