@@ -190,8 +190,9 @@ def test_fused_split_m_split_matches_full_hm_interpret():
                                rtol=1e-3)
 
 
-@pytest.mark.parametrize("split", [False, True])
-def test_fused_pinning_matches_xla_interpret(split):
+@pytest.mark.parametrize("split,form", [(False, None), (True, None),
+                                        (None, "slab")])
+def test_fused_pinning_matches_xla_interpret(split, form):
     """Decision-feedback pinning (App. A.7 step 5) on the fused kernel vs
     the XLA scan: pinned rows overridden after every denoise, identical
     decisions + tau trace (VERDICT round-1 missing #3)."""
@@ -215,7 +216,8 @@ def test_fused_pinning_matches_xla_interpret(split):
               pinned_mask=pin_mask)
     r_xla = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, **kw)
     r_fus = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, fused=True,
-                       fused_interpret=True, fused_split=split, **kw)
+                       fused_interpret=True, fused_split=split,
+                       fused_form=form, **kw)
     np.testing.assert_array_equal(np.asarray(hard_indices(r_xla.beta)),
                                   np.asarray(hard_indices(r_fus.beta)))
     np.testing.assert_allclose(np.asarray(r_fus.tau2_trace),
@@ -227,8 +229,9 @@ def test_fused_pinning_matches_xla_interpret(split):
     np.testing.assert_allclose(got[pm], want[pm], rtol=1e-6)
 
 
-@pytest.mark.parametrize("split", [False, True])
-def test_fused_se_schedule_matches_xla_interpret(split):
+@pytest.mark.parametrize("split,form", [(False, None), (True, None),
+                                        (None, "slab")])
+def test_fused_se_schedule_matches_xla_interpret(split, form):
     """SE tau2 schedule (SMEM constant) on the fused kernel vs the XLA
     scan: schedule replaces the online estimate identically."""
     from sparc_ldpc_tpu.models.amp import amp_decode
@@ -247,7 +250,8 @@ def test_fused_se_schedule_matches_xla_interpret(split):
     kw = dict(T=cfg.amp_iters, tol=0.0, tau2_schedule=sched)
     r_xla = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, **kw)
     r_fus = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, fused=True,
-                       fused_interpret=True, fused_split=split, **kw)
+                       fused_interpret=True, fused_split=split,
+                       fused_form=form, **kw)
     np.testing.assert_array_equal(np.asarray(hard_indices(r_xla.beta)),
                                   np.asarray(hard_indices(r_fus.beta)))
     np.testing.assert_allclose(np.asarray(r_fus.tau2_trace),
@@ -278,3 +282,31 @@ def test_fused_split_config_path_matches_xla_interpret(L, M):
                                   np.asarray(hard_indices(r_s.beta)))
     np.testing.assert_allclose(np.asarray(r_s.tau2_trace),
                                np.asarray(r_x.tau2_trace), rtol=2e-2)
+
+
+@pytest.mark.parametrize("L,M", [(256, 64), (64, 256), (256, 256)])
+def test_fused_slab_config_path_matches_xla_interpret(L, M):
+    """amp_kernel="fused_slab" (block-value dataflow kernel,
+    ops/amp_kernel.py `_amp_kernel_slab`) through the SparcModel path vs
+    the XLA scan: identical decisions, tau trace within f32-reassociation
+    noise (the slab form accumulates tau2/||beta||^2/softmax row sums as
+    per-slab partials, so traces are not bitwise)."""
+    cfg = SparcConfig(L=L, M=M, R=1.0, op_kind="hadamard", amp_iters=8,
+                      amp_tol=0.0, transform_precision="bf16",
+                      amp_kernel="fused_slab")
+    m = SparcModel.build(cfg, ebno_db=5.0)
+    ref = SparcModel.build(cfg.replace(amp_kernel="xla"), ebno_db=5.0)
+    key = jax.random.key(7)
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                (2, cfg.k_bits)).astype(jnp.int32)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (2, cfg.n))
+    y = m.encode(bits) + noise * np.sqrt(m.sigma2)
+    r_ref = ref.decode(y)
+    r_slab = m.decode(y)
+    np.testing.assert_array_equal(np.asarray(hard_indices(r_ref.beta)),
+                                  np.asarray(hard_indices(r_slab.beta)))
+    np.testing.assert_allclose(np.asarray(r_slab.tau2_trace),
+                               np.asarray(r_ref.tau2_trace), rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(r_slab.beta),
+                               np.asarray(r_ref.beta),
+                               rtol=5e-2, atol=5e-2)
