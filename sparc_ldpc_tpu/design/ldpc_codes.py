@@ -186,6 +186,11 @@ def qc_base_H(shifts: np.ndarray, Z: int) -> np.ndarray:
 # LdpcConfig(kind="qc", path="wifi_n648_r12") — bare names map into the
 # package data dir; real filesystem paths still work.
 STANDARD_CODES = ("wifi_n648_r12", "wifi_n1296_r12", "wifi_n1944_r12")
+# Higher-rate codes in the same 802.11n structure (dual-diagonal parity +
+# anchor column) with CONSTRUCTED girth-aware shifts — not standard-table
+# transcriptions (scripts/gen_qc_codes.py documents why and what is
+# verified instead).
+CONSTRUCTED_CODES = ("qc_n648_r23", "qc_n648_r34", "qc_n648_r56")
 
 
 def _resolve_qc_path(path: str) -> str:
@@ -198,8 +203,8 @@ def _resolve_qc_path(path: str) -> str:
     if os.path.exists(cand):
         return cand
     raise FileNotFoundError(
-        f"QC base matrix {path!r} not found (known standard codes: "
-        f"{', '.join(STANDARD_CODES)})")
+        f"QC base matrix {path!r} not found (known codes: "
+        f"{', '.join(STANDARD_CODES + CONSTRUCTED_CODES)})")
 
 
 def load_qc_base(path: str) -> Tuple[np.ndarray, int]:

@@ -91,3 +91,61 @@ def test_wifi648_waterfall(rng):
         res = lm.decode(llr)
         errs[sigma] = int((np.asarray(res.hard) != cw).sum())
     assert errs[1.0] > 10 * max(errs[0.79], 1) or errs[0.79] == 0, errs
+
+
+# ---- constructed higher-rate codes (802.11n structure, generated shifts;
+# scripts/gen_qc_codes.py) ----
+
+from sparc_ldpc_tpu.design.ldpc_codes import CONSTRUCTED_CODES
+
+RATE = {"qc_n648_r23": (8, 2 / 3), "qc_n648_r34": (6, 3 / 4),
+        "qc_n648_r56": (4, 5 / 6)}
+
+
+@pytest.mark.parametrize("name", CONSTRUCTED_CODES)
+def test_constructed_code_properties(name):
+    J, rate = RATE[name]
+    shifts, Z = load_qc_base(name)
+    assert shifts.shape == (J, 24) and Z == 27
+    # dual-diagonal parity part with the (1, 0, 1) anchor column
+    a = 24 - J
+    col = shifts[:, a]
+    nz = np.nonzero(col >= 0)[0]
+    assert list(nz) == [0, J // 2, J - 1]
+    assert col[0] == 1 and col[J - 1] == 1 and col[J // 2] == 0
+    for j in range(J - 1):
+        assert shifts[j, a + 1 + j] == 0 and shifts[j + 1, a + 1 + j] == 0
+    H = qc_base_H(shifts, Z)
+    code = systematize(H)
+    assert code.k == 24 * Z - J * Z, "full rank (exact design rate)"
+    assert abs(code.k / code.n - rate) < 1e-9
+    ov = H.astype(np.int32) @ H.T.astype(np.int32)
+    np.fill_diagonal(ov, 0)
+    assert ov.max() <= 1, "4-cycle in expanded H"
+
+
+@pytest.mark.parametrize("name,sigma",
+                         [("qc_n648_r23", 0.55), ("qc_n648_r56", 0.42)])
+def test_constructed_code_decodes(name, sigma, rng):
+    """BP (QC layered engine) corrects AWGN noise at a moderate operating
+    point and degrades at a harder one (waterfall sanity), per constructed
+    higher-rate code."""
+    J, rate = RATE[name]
+    cfg = LdpcConfig(kind="qc", path=name, decoder="minsum",
+                     engine="qc", schedule="layered", bp_iters=50)
+    lm = LdpcModel.build(cfg)
+    assert lm.n == 648 and lm.k == 648 - J * 27
+    B = 24
+
+    def run(sig):
+        u = rng.integers(0, 2, (B, lm.k)).astype(np.uint8)
+        cw = lm.code.encode(u)
+        y = (1.0 - 2.0 * cw) + sig * rng.standard_normal((B, lm.n))
+        llr = jnp.asarray(2.0 * y / sig**2, dtype=jnp.float32)
+        res = lm.decode(llr)
+        return int(res.ok.sum())
+
+    ok_easy = run(sigma)
+    assert ok_easy >= B - 1, ok_easy
+    ok_hard = run(sigma + 0.22)
+    assert ok_hard < ok_easy, (ok_easy, ok_hard)
