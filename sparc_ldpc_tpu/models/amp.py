@@ -93,12 +93,26 @@ def amp_decode(
         if pinned_mask is not None:
             pin_val = jnp.where(pinned_mask[:, :, None],
                                 sq_npl[None, :, None] * pinned_onehot, 0.0)
+        iters = jnp.full((B,), T, dtype=jnp.int32)
         if policy is None:
-            beta3, trace = amp_fused(y_n, mask2d, sq_npl, P, n, T,
-                                     interpret=fused_interpret,
-                                     split=fused_split, form=fused_form,
-                                     tau2_schedule=tau2_schedule,
-                                     pin_val=pin_val)
+            # the split kernel supports the in-kernel per-codeword early
+            # stop (real wall-time savings — one grid program per
+            # codeword), so amp_tol keeps its XLA-scan freeze semantics on
+            # the fused path; schedule mode has no online tau to compare.
+            k_tol = (tol if (tol > 0 and tau2_schedule is None
+                             and fused_form is None
+                             and (fused_split is True
+                                  or (fused_split is None and L > 1024)))
+                     else 0.0)
+            out = amp_fused(y_n, mask2d, sq_npl, P, n, T,
+                            interpret=fused_interpret,
+                            split=fused_split, form=fused_form,
+                            tau2_schedule=tau2_schedule,
+                            pin_val=pin_val, tol=k_tol)
+            if k_tol:
+                beta3, trace, iters = out
+            else:
+                beta3, trace = out
         else:
             from ..parallel.amp_sharded import amp_fused_sharded
             beta3, trace = amp_fused_sharded(
@@ -108,8 +122,7 @@ def amp_decode(
         post = beta3 / sq_npl[None, :, None]
         scores = jnp.log(jnp.maximum(post, jnp.finfo(y.dtype).tiny))
         return AmpResult(beta=beta3, posteriors=post, scores=scores,
-                         tau2_trace=trace,
-                         iters=jnp.full((B,), T, dtype=jnp.int32))
+                         tau2_trace=trace, iters=iters)
     dn = denoise_pallas if use_pallas_denoiser else denoise
     c_bml = policy.constrain_bml if policy is not None else (lambda x: x)
     c_blm = policy.constrain_blm if policy is not None else (lambda x: x)

@@ -18,9 +18,11 @@ VMEM budget at (L, M) = (1024, 512), f32 state + bf16 Hadamard factors:
 beta 2 + z 2 + y 2 + scratch 2 + H_L 2 + H_M 0.5 + mask 2 < 13 MB.
 
 Scope guards (amp_decode falls back to the XLA path otherwise):
-  ML == N, L <= 1024, M <= 1024, online tau, no pinning, fixed T (tol
-  semantics: the kernel runs all T iterations; use amp_tol=0 for bitwise
-  reproducibility of the trace).
+  ML == N, L <= 4096, M <= 1024.  SE tau2 schedules (SMEM constant),
+  decision-feedback pinning (App. A.7 step 5), and amp_tol early stopping
+  (split variant: in-kernel per-codeword freeze that saves real wall time,
+  mean 22.8 iters at a T=32 cap on the flagship point) are all supported;
+  amp_tol=0 gives fixed-T bitwise-reproducible traces.
 """
 
 from __future__ import annotations
@@ -234,7 +236,7 @@ def _unpack_refs(refs, n_in: int, has_sched: bool, has_pin: bool):
 def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
                       f_a: int, f_b: int, m_a: int, m_b: int,
                       vpu_outer: bool, has_sched: bool, has_pin: bool,
-                      *refs):
+                      tol: float, *refs):
     """Split variant: the L-axis Hadamard factor is decomposed as
     H_L = H_{f_a} (x) H_{f_b}, so no O(L^2) constant is materialized
     (H_4096 bf16 is 32 MB and broke Mosaic compile; H_32 + H_128 are KBs).
@@ -299,7 +301,13 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
     # loop does one full-tile multiply per residual update instead of two.
     y_ref[0] = mask * y_ref[0]
 
-    def body(t, tau2_prev):
+    def trace_write(t, val):
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        hit = (r_ids * 128 + c_ids) == t
+        trace_ref[0] = jnp.where(hit, val, trace_ref[0])
+
+    def iterate(t, tau2_prev):
         beta = b_scr[:]
         bnorm2 = jnp.sum(beta * beta)
         coef = jnp.where(t == 0, 0.0, (P - bnorm2 / n) / tau2_prev)
@@ -324,13 +332,40 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
             bnew = jnp.where(jnp.sum(pv, axis=1, keepdims=True) > 0.0,
                              pv, bnew)
         b_scr[:] = bnew
-        r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        hit = (r_ids * 128 + c_ids) == t
-        trace_ref[0] = jnp.where(hit, tau2, trace_ref[0])
+        trace_write(t, tau2)
         return tau2
 
-    jax.lax.fori_loop(0, T, body, jnp.float32(jnp.inf))
+    if tol == 0.0:
+        # fixed-T semantics: no conditionals at all (bitwise round-1 path)
+        jax.lax.fori_loop(0, T, iterate, jnp.float32(jnp.inf))
+    else:
+        # per-codeword early stop (XLA scan freeze semantics): a codeword
+        # whose tau2 plateaued within tol skips the whole iteration —
+        # unlike the lax.scan mask, the skip saves real time because each
+        # grid program is one codeword.  conv is evaluated on the iteration
+        # that ran; the NEXT iteration is the first frozen one, and frozen
+        # iterations copy tau2_prev into the trace exactly like the scan.
+        def body(t, carry):
+            tau2_prev, done, iters = carry
+
+            def frozen(_):
+                trace_write(t, tau2_prev)
+                return tau2_prev, jnp.float32(1.0), iters
+
+            def active(_):
+                tau2 = iterate(t, tau2_prev)
+                conv = jnp.abs(tau2 - tau2_prev) < tol * tau2
+                return (tau2, conv.astype(jnp.float32),
+                        iters + jnp.float32(1.0))
+
+            return jax.lax.cond(done > 0.0, frozen, active, 0)
+
+        _, _, iters = jax.lax.fori_loop(
+            0, T, body,
+            (jnp.float32(jnp.inf), jnp.float32(0.0), jnp.float32(0.0)))
+        # iterations-used count rides the spare trace slot T (T <= 1023
+        # when tol > 0; amp_fused unpacks it into AmpResult.iters)
+        trace_write(T, iters)
     beta_ref[0] = b_scr[:]
 
 
@@ -499,19 +534,25 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
               tau2_schedule: jax.Array | None = None,   # (T,) SE schedule
               pin_val: jax.Array | None = None,         # (B, L, M)
               form: str | None = None,   # None=auto | "slab"|"split"|"mono"
-              ) -> Tuple[jax.Array, jax.Array]:
-    """Run the fused kernel: returns (beta (B, L, M), tau2_trace (T, B)).
+              tol: float = 0.0,          # per-codeword early stop (split)
+              ):
+    """Run the fused kernel: returns (beta (B, L, M), tau2_trace (T, B)),
+    plus iters (B,) as a third element when tol > 0.
 
     tau2_schedule replaces the online ||z||^2/n estimate with a
     state-evolution schedule (SMEM constant).  pin_val implements the
     decision-feedback pinning of App. A.7 step 5: rows holding sq*one_hot
     are overridden after every denoise, zero rows pass through.
+    tol > 0 enables the in-kernel per-codeword early stop (XLA-scan freeze
+    semantics; split variant only — each grid program is one codeword, so
+    the skip saves real wall time, unlike the scan's mask).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, L, M = y_n.shape
     assert T <= 1024, "trace buffer holds 1024 iterations"
+    assert tol == 0.0 or T <= 1023, "early stop rides trace slot T"
     inv_sqrt_n = 1.0 / math.sqrt(n)
     has_sched = tau2_schedule is not None
     has_pin = pin_val is not None
@@ -557,6 +598,9 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
     use_split = (L > 1024) if split is None else split
     if form is None:
         form = "split" if use_split else "mono"
+    if tol:
+        assert form in (None, "split") and (use_split or form == "split"), \
+            "in-kernel early stop is implemented for the split variant"
     if form == "slab":
         f_b = min(f_b, L)
         assert L % f_b == 0, (L, f_b)
@@ -632,7 +676,8 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         hmb = hadamard_factor(m_b, jnp.bfloat16)
         kernel = functools.partial(_amp_kernel_split, T, n, float(P),
                                    inv_sqrt_n, f_a, f_b, m_a, m_b,
-                                   vpu_outer, has_sched, has_pin)
+                                   vpu_outer, has_sched, has_pin,
+                                   float(tol))
         beta, trace = pl.pallas_call(
             kernel,
             in_specs=tile_specs + [
@@ -652,6 +697,10 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
             ],
             **common,
         )(y_n, mask.astype(jnp.bfloat16), hfa, hfb, hmb, sq2, *extra_in)
-    # unpack padded trace -> (T, B)
-    tr = trace.reshape(B, 8 * 128)[:, :T].T
+    # unpack padded trace -> (T, B); slot T carries the per-codeword
+    # iterations-used count when the early stop is on
+    flat = trace.reshape(B, 8 * 128)
+    tr = flat[:, :T].T
+    if tol:
+        return beta, tr, flat[:, T].astype(jnp.int32)
     return beta, tr

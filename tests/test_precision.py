@@ -310,3 +310,32 @@ def test_fused_slab_config_path_matches_xla_interpret(L, M):
     np.testing.assert_allclose(np.asarray(r_slab.beta),
                                np.asarray(r_ref.beta),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_fused_split_early_stop_matches_xla_interpret():
+    """In-kernel per-codeword early stop (split kernel, amp_tol > 0) vs
+    the XLA scan's masked freeze: identical per-codeword iteration counts,
+    identical decisions, frozen trace entries copied like the scan's."""
+    from sparc_ldpc_tpu.models.amp import amp_decode
+
+    cfg = SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=16,
+                      amp_tol=1e-4, transform_precision="bf16")
+    m = SparcModel.build(cfg, ebno_db=6.0)
+    key = jax.random.key(3)
+    B = 4
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                (B, cfg.k_bits)).astype(jnp.int32)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (B, cfg.n))
+    y = m.encode(bits) + noise * np.sqrt(m.sigma2)
+    kw = dict(T=cfg.amp_iters, tol=cfg.amp_tol)
+    r_xla = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, **kw)
+    r_fus = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, fused=True,
+                       fused_interpret=True, fused_split=True, **kw)
+    np.testing.assert_array_equal(np.asarray(r_xla.iters),
+                                  np.asarray(r_fus.iters))
+    assert int(np.max(np.asarray(r_xla.iters))) < cfg.amp_iters, \
+        "test point must actually stop early"
+    np.testing.assert_array_equal(np.asarray(hard_indices(r_xla.beta)),
+                                  np.asarray(hard_indices(r_fus.beta)))
+    np.testing.assert_allclose(np.asarray(r_fus.tau2_trace),
+                               np.asarray(r_xla.tau2_trace), rtol=2e-2)
