@@ -309,9 +309,12 @@ PRESETS = {
     # halving block time vs the XLA feedback scan (71.5 -> 36 ms/block at
     # B=32; frame/bp counters identical — docs/PERF.md).
     "concat": ConcatConfig(
+        # amp_tol=1e-4: in-kernel per-codeword early stop on both AMP
+        # passes (main + pinned feedback) — 69.3 -> 63.5 ms/block at B=128
+        # /3 dB with identical frame/bp counters (mean 23.5 iters vs 32).
         sparc=SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                           op_kind="hadamard", amp_kernel="fused_split",
-                          amp_tol=0.0, transform_precision="bf16"),
+                          amp_tol=1e-4, transform_precision="bf16"),
         # QC engine + row-layered schedule at half the iteration budget:
         # layered@32 matches/beats flooding@64 decode quality (scripts/
         # bp_bench.py A/B, docs/PERF.md) at half the BP compute.
@@ -326,7 +329,7 @@ PRESETS = {
     "concat_wifi": ConcatConfig(
         sparc=SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                           op_kind="hadamard", amp_kernel="fused_split",
-                          amp_tol=0.0, transform_precision="bf16"),
+                          amp_tol=1e-4, transform_precision="bf16"),
         ldpc=LdpcConfig(kind="qc", path="wifi_n648_r12", engine="qc",
                         schedule="layered", bp_iters=32),
         f_prot=0.28,
