@@ -334,6 +334,17 @@ PRESETS = {
                         schedule="layered", bp_iters=32),
         f_prot=0.28,
     ),
+    # 4c. high-rate outer code: constructed rate-5/6 n=648 QC-LDPC in the
+    # 802.11n structure (data/qc_n648_r56.qc) — less rate loss on the
+    # protected sections (k=540/cw vs 324); same frame geometry as 4b.
+    "concat_r56": ConcatConfig(
+        sparc=SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
+                          op_kind="hadamard", amp_kernel="fused_split",
+                          amp_tol=1e-4, transform_precision="bf16"),
+        ldpc=LdpcConfig(kind="qc", path="qc_n648_r56", engine="qc",
+                        schedule="layered", bp_iters=32),
+        f_prot=0.28,
+    ),
     # 5. multi-host campaign over an Eb/N0 grid
     "campaign": CampaignConfig(),
 }

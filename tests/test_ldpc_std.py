@@ -149,3 +149,20 @@ def test_constructed_code_decodes(name, sigma, rng):
     assert ok_easy >= B - 1, ok_easy
     ok_hard = run(sigma + 0.22)
     assert ok_hard < ok_easy, (ok_easy, ok_hard)
+
+
+def test_concat_r56_preset_geometry():
+    """The high-rate concat preset (constructed rate-5/6 outer code) builds
+    with consistent frame geometry: whole codewords, higher user rate than
+    the rate-1/2 wifi preset.  (On-chip decode: 96/96 codewords at 3 dB —
+    docs/PERF.md round 2.)"""
+    import jax
+
+    from sparc_ldpc_tpu.config import PRESETS
+    from sparc_ldpc_tpu.models.concat import ConcatModel
+
+    m = ConcatModel.build(PRESETS["concat_r56"], ebno_db=3.0)
+    assert m.ldpc.n == 648 and m.ldpc.k == 540
+    assert m.Lp * m.cfg.sparc.logM == m.num_cw * m.ldpc.n
+    m_wifi = ConcatModel.build(PRESETS["concat_wifi"], ebno_db=3.0)
+    assert m.k_user > m_wifi.k_user
