@@ -54,6 +54,24 @@ def make_kernel(mode, T, n, P, inv_sqrt_n, f_a, f_b, m_a, m_b):
             return _fwht_blocks(vals)
 
         def fwht_slabs(read_tall):
+            if mode == "midbf16":
+                # column stage entirely in bf16: matmuls emit bf16, the
+                # column radix runs on packed (16,128) bf16 lanes, and the
+                # row matmul consumes bf16 directly (no cast pass at all);
+                # f32 reappears only at the row-matmul accumulator.
+                tall = [_mm(read_tall(j), hmb_ref[:]).astype(jnp.bfloat16)
+                        for j in range(m_a)]
+                tall = _fwht_blocks(tall) if m_a > 1 else tall
+                rows = []
+                for a in range(f_a):
+                    lo = a * f_b
+                    wide = (tall[0][lo:lo + f_b, :] if m_a == 1 else
+                            jnp.concatenate(
+                                [t[lo:lo + f_b, :] for t in tall], axis=1))
+                    rows.append(jax.lax.dot_general(
+                        hfb_ref[:], wide, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                return _fwht_blocks(rows) if f_a > 1 else rows
             if mode == "no_mm":
                 tall = [read_tall(j).astype(jnp.bfloat16).astype(jnp.float32)
                         for j in range(m_a)]
