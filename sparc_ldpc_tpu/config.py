@@ -302,7 +302,7 @@ PRESETS = {
     # 8.2 Mbit/s vs ~2.5 ms per codeword-iteration on the XLA path)
     "fast_l4096": SparcConfig(L=4096, M=512, R=1.5, power_alloc="iterative",
                               op_kind="hadamard", amp_kernel="fused",
-                              amp_tol=0.0, transform_precision="bf16"),
+                              amp_tol=1e-4, transform_precision="bf16"),
     # 4. concatenated SPARC+LDPC (see ConcatConfig defaults).  BOTH AMP
     # passes ride the fused split kernel since round 2: the pinned
     # decision-feedback pass uses the kernel's pin tensor (App. A.7 step 5),
