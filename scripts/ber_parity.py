@@ -261,7 +261,16 @@ def run_check(presets, strict=True):
                 continue
             o, t = o[-1], t[-1]
             gap = abs(o["ber"] - t["ber"])
-            bound = math.hypot(ci_ber(o), ci_ber(t))
+            # joint 95% CI, floored at 1% relative: at flat-PA stall
+            # plateaus (plain_small @ 2 dB: BER ~0.22, a metastable
+            # no-decode fixed point) f32 arithmetic shifts the plateau BER
+            # ~0.7% relative vs float64 — verified a PRECISION effect, not
+            # a kernel one: the f32 XLA path measures 0.22166 +- 0.0011,
+            # identical to the bf16 fused kernel (0.2217), both below the
+            # float64 oracle (0.2234).  Waterfall/converged points agree
+            # within the plain binomial CI.
+            bound = max(math.hypot(ci_ber(o), ci_ber(t)),
+                        0.01 * max(o["ber"], t["ber"]))
             line = (f"{preset} @ {ebno}: oracle {o['ber']:.3e} "
                     f"tpu {t['ber']:.3e} |gap| {gap:.2e} "
                     f"joint95 {bound:.2e} -> "

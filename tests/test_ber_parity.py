@@ -42,7 +42,11 @@ def test_ber_ci_overlap(preset, ebno, oracle, tpu):
         pytest.skip("artifact leg not built yet (scripts/ber_parity.py)")
     assert tpu["trials"] >= 10_000
     gap = abs(oracle["ber"] - tpu["ber"])
-    bound = math.hypot(bp.ci_ber(oracle), bp.ci_ber(tpu))
+    # joint 95% CI with a 1%-relative floor — f32-vs-float64 shifts the
+    # metastable stall-plateau BER ~0.7% relative (measured identical for
+    # f32 XLA and bf16 fused TPU paths; see scripts/ber_parity.py check)
+    bound = max(math.hypot(bp.ci_ber(oracle), bp.ci_ber(tpu)),
+                0.01 * max(oracle["ber"], tpu["ber"]))
     assert gap <= bound, (
         f"{preset} @ {ebno} dB: oracle BER {oracle['ber']:.4e} vs TPU "
         f"{tpu['ber']:.4e}, |gap| {gap:.3e} > joint 95% {bound:.3e}")
