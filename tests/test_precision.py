@@ -339,3 +339,43 @@ def test_fused_split_early_stop_matches_xla_interpret():
                                   np.asarray(hard_indices(r_fus.beta)))
     np.testing.assert_allclose(np.asarray(r_fus.tau2_trace),
                                np.asarray(r_xla.tau2_trace), rtol=2e-2)
+
+
+def test_fused_split_early_stop_with_pinning_interpret():
+    """Early stop + decision-feedback pinning together (the concat preset's
+    feedback pass since amp_tol=1e-4): iteration counts and decisions match
+    the XLA scan's masked freeze."""
+    from sparc_ldpc_tpu.models.amp import amp_decode
+
+    # 8 dB: every codeword converges decisively (|d tau2| plunges through
+    # tol*tau2), so the threshold crossing is robust to f32 association
+    cfg = SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=12,
+                      amp_tol=1e-4, transform_precision="bf16")
+    m = SparcModel.build(cfg, ebno_db=8.0)
+    key = jax.random.key(11)
+    B = 3
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                (B, cfg.k_bits)).astype(jnp.int32)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (B, cfg.n))
+    y = m.encode(bits) + noise * np.sqrt(m.sigma2)
+    pin_mask = jnp.asarray(np.random.default_rng(1).random((B, cfg.L)) < 0.4)
+    pin_idx = jax.random.randint(jax.random.fold_in(key, 2), (B, cfg.L),
+                                 0, cfg.M)
+    pin_oh = jax.nn.one_hot(pin_idx, cfg.M, dtype=jnp.float32)
+    kw = dict(T=cfg.amp_iters, tol=cfg.amp_tol, pinned_onehot=pin_oh,
+              pinned_mask=pin_mask)
+    r_xla = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, **kw)
+    r_fus = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, fused=True,
+                       fused_interpret=True, fused_split=True, **kw)
+    # iteration counts can differ by a few when |d tau2| hovers exactly at
+    # tol*tau2 (f32 association flips the threshold crossing) — decisions
+    # and the pre-stop trace must still agree
+    assert int(np.max(np.abs(np.asarray(r_xla.iters)
+                             - np.asarray(r_fus.iters)))) <= 4
+    np.testing.assert_array_equal(np.asarray(hard_indices(r_xla.beta)),
+                                  np.asarray(hard_indices(r_fus.beta)))
+    t_min = int(min(np.min(np.asarray(r_xla.iters)),
+                    np.min(np.asarray(r_fus.iters))))
+    np.testing.assert_allclose(np.asarray(r_fus.tau2_trace)[:t_min],
+                               np.asarray(r_xla.tau2_trace)[:t_min],
+                               rtol=2e-2)
