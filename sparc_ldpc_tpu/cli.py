@@ -41,7 +41,8 @@ def _build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("campaign", help="run a Monte-Carlo BER/FER campaign")
     c.add_argument("--preset", default="plain_small",
-                   help="plain_small | pa_l1024 | fast_l4096 | concat")
+                   help="plain_small | pa_l1024 | fast_l4096 | concat | "
+                        "concat_wifi | concat_r56")
     c.add_argument("--ebno", type=float, nargs="+", default=None,
                    help="Eb/N0 grid in dB (default: preset grid)")
     c.add_argument("--batch", type=int, default=64)
