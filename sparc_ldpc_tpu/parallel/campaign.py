@@ -65,11 +65,18 @@ def run_point(
             # sweep points); everything else is jitted here per point.
             compiled = (run_block if getattr(run_block, "_prejitted", False)
                         else jax.jit(run_block))
+        t_blk = time.perf_counter()
         out = compiled(tkeys)
         # one bulk transfer instead of one ~30 ms relay round-trip per scalar
         out = jax.device_get({k: v for k, v in out.items()
                               if k in _COUNTER_KEYS})
         out = {k: int(v) for k, v in out.items()}
+        if "first_block_s" not in totals:
+            # the first executed block carries jit compilation; record it
+            # separately so throughput figures can exclude compile
+            # (round-1 VERDICT weak #4: a 218 s compile once polluted a
+            # sweep point's bits_per_s by 50x)
+            totals["first_block_s"] = time.perf_counter() - t_blk
         for k, v in out.items():
             totals[k] = totals.get(k, 0) + v
         if state is not None:
@@ -78,6 +85,16 @@ def run_point(
     totals["wall_s"] = time.perf_counter() - t0
     totals["blocks"] = block
     return totals
+
+
+def steady_bits_per_s(tot: Dict[str, float], batch: int, kb: int) -> float:
+    """Throughput with the compile-bearing first block excluded; falls back
+    to the naive figure for single-block or journal-replayed points."""
+    trials = tot.get("trials", 0)
+    fb = tot.get("first_block_s")
+    if fb is None or tot.get("blocks", 0) < 2 or trials <= batch:
+        return trials * kb / max(tot.get("wall_s", 0.0), 1e-9)
+    return (trials - batch) * kb / max(tot["wall_s"] - fb, 1e-9)
 
 
 def run_campaign(
@@ -121,7 +138,8 @@ def run_campaign(
             frame_errors=int(tot.get("frame_errors", 0)),
             mean_iters=tot.get("iters_sum", 0) / trials,
             wall_s=tot["wall_s"],
-            bits_per_s=trials * kb / max(tot["wall_s"], 1e-9),
+            first_block_s=tot.get("first_block_s"),
+            bits_per_s=steady_bits_per_s(tot, cfg.batch, kb),
             blocks=int(tot["blocks"]),
         )
         results.append(rec)
