@@ -23,15 +23,24 @@ import time
 
 import jax
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 from sparc_ldpc_tpu.config import SparcConfig
 from sparc_ldpc_tpu.models.sparc import SparcModel
 from sparc_ldpc_tpu.parallel.mesh import ShardingPolicy, make_mesh
 from sparc_ldpc_tpu.utils import rng as rngu
 
 
-def measure(n_dev: int, per_dev_batch: int = 16, reps: int = 5) -> float:
+def measure(n_dev: int, per_dev_batch: int = 16, reps: int = 5,
+            fused: bool = False) -> float:
+    # --fused: the production path on real TPU hardware — the whole-AMP
+    # Pallas kernel per device under the mesh (parallel/amp_sharded.py,
+    # pure-DP shard_map route).  Default stays XLA so the virtual-CPU
+    # harness check runs everywhere.
     cfg = SparcConfig(L=256, M=512, R=1.0, op_kind="hadamard",
-                      amp_iters=16, amp_tol=0.0)
+                      amp_iters=16, amp_tol=0.0,
+                      **(dict(amp_kernel="fused_split",
+                              transform_precision="bf16") if fused else {}))
     mesh = make_mesh(section_shards=1, devices=jax.devices()[:n_dev])
     policy = ShardingPolicy(mesh, section_axis=None)
     model = SparcModel.build(cfg, ebno_db=5.0, policy=policy)
@@ -56,13 +65,14 @@ def measure(n_dev: int, per_dev_batch: int = 16, reps: int = 5) -> float:
 
 
 def main():
+    fused = "--fused" in sys.argv
     avail = jax.device_count()
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= avail]
-    print(f"devices available: {avail} ({jax.devices()[0].platform})",
-          file=sys.stderr)
+    print(f"devices available: {avail} ({jax.devices()[0].platform}) "
+          f"fused={fused}", file=sys.stderr)
     results = {}
     for n in counts:
-        bps = measure(n)
+        bps = measure(n, fused=fused)
         results[n] = bps
         eff = bps / (n * results[1])
         print(json.dumps(dict(devices=n, bits_per_s=round(bps, 1),
