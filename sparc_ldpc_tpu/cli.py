@@ -121,11 +121,13 @@ def cmd_campaign(args) -> int:
 
     policy = None
     ctx = None
-    if args.section_shards > 1 or jax.device_count() > 1:
-        mesh = make_mesh(section_shards=args.section_shards)
+    # the config field is the single truth for the mesh shape (args only
+    # feed it above), so programmatic callers get the same behavior
+    if ccfg.section_shards > 1 or jax.device_count() > 1:
+        mesh = make_mesh(section_shards=ccfg.section_shards)
         policy = ShardingPolicy(
             mesh,
-            section_axis="section" if args.section_shards > 1 else None)
+            section_axis="section" if ccfg.section_shards > 1 else None)
         ctx = jax.sharding.set_mesh(mesh)
         ctx.__enter__()
 
@@ -150,10 +152,13 @@ def cmd_campaign(args) -> int:
               f"batch={args.batch} devices={jax.device_count()} "
               f"section_shards={args.section_shards}")
 
+    from .utils.provenance import artifact_meta
+
     def go():
         return run_campaign(model_for_point, ccfg, k_bits,
                             journal_path=journal, results_path=out,
-                            policy=policy, is_proc0=is_proc0)
+                            policy=policy, is_proc0=is_proc0,
+                            meta=artifact_meta(args.preset, cfg))
 
     if args.profile:
         import jax.profiler

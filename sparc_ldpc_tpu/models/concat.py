@@ -206,6 +206,9 @@ class ConcatModel:
         bit_errors = jnp.sum(bits != user_hat, axis=-1)
         return dict(
             bit_errors=jnp.sum(bit_errors),
+            # frame-level second moment for cluster-robust BER CIs
+            # (scripts/ber_parity.py; campaign journals carry it too)
+            bit_errors_sq=jnp.sum(bit_errors.astype(jnp.float32) ** 2),
             frame_errors=jnp.sum(bit_errors > 0),
             trials=jnp.asarray(y.shape[0], dtype=jnp.int32),
             bp_ok=jnp.sum(ok),
@@ -241,6 +244,7 @@ class ConcatModel:
         bit_errors = jnp.sum(bits != out["user_bits"], axis=-1)
         return dict(
             bit_errors=jnp.sum(bit_errors),
+            bit_errors_sq=jnp.sum(bit_errors.astype(jnp.float32) ** 2),
             frame_errors=jnp.sum(bit_errors > 0),
             trials=jnp.asarray(batch, dtype=jnp.int32),
             bp_ok=jnp.sum(out["bp_ok"]),

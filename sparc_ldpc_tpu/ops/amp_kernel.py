@@ -20,9 +20,10 @@ beta 2 + z 2 + y 2 + scratch 2 + H_L 2 + H_M 0.5 + mask 2 < 13 MB.
 Scope guards (amp_decode falls back to the XLA path otherwise):
   ML == N, L <= 4096, M <= 1024.  SE tau2 schedules (SMEM constant),
   decision-feedback pinning (App. A.7 step 5), and amp_tol early stopping
-  (split variant: in-kernel per-codeword freeze that saves real wall time,
-  mean 22.8 iters at a T=32 cap on the flagship point) are all supported;
-  amp_tol=0 gives fixed-T bitwise-reproducible traces.
+  (in-kernel per-codeword freeze on every form — mono/split/slab — that
+  saves real wall time, mean 22.8 iters at a T=32 cap on the flagship
+  point) are all supported; amp_tol=0 gives fixed-T bitwise-reproducible
+  traces.
 """
 
 from __future__ import annotations
@@ -111,7 +112,7 @@ def _mml(h, x):
 
 def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
                      f_a: int, f_b: int, m_a: int, m_b: int,
-                     has_sched: bool, has_pin: bool, *refs):
+                     has_sched: bool, has_pin: bool, tol: float, *refs):
     """Block-value dataflow variant: the whole iteration is expressed on an
     (f_a, m_a) grid of (f_b, m_b) VALUE tiles, never materializing a full
     intermediate (L, M) tile in VMEM.
@@ -125,9 +126,12 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
     mandatory VMEM traffic per iteration is b_scr 2R+1W, z_scr 1R+1W,
     y 1R, mask 2R (plus whatever Mosaic spills for the cross-slab radix).
 
-    Bitwise identical to the staged split kernel: the value-form butterfly
-    recursion (`_fwht_blocks`) has the same f32 association as the staged
-    in-place stages, and the matmuls are unchanged.
+    Transform stages match the staged split kernel's f32 association (the
+    value-form butterfly recursion `_fwht_blocks` applies the same ops in
+    the same order); the tau2 / ||beta||^2 / softmax row reductions are
+    reassociated as per-slab partial sums, so traces agree to rtol ~1e-2
+    but are NOT bitwise identical to the split kernel (see the slab
+    interpret-parity tests).
 
     Softmax row reductions span the m_a column blocks of a slab as
     max/sum-of-partials; the pin-row indicator is the full-row pin sum
@@ -173,13 +177,18 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
     # mask*y is loop-invariant: fold it into the aliased y block once.
     y_ref[0] = mask_ref[:].astype(jnp.float32) * y_ref[0]
 
-    def body(t, carry):
+    def trace_write(t, val):
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        hit = (r_ids * 128 + c_ids) == t
+        trace_ref[0] = jnp.where(hit, val, trace_ref[0])
+
+    def iterate(t, carry):
         # carrying ||beta||^2 forward from the softmax (where bnew is
         # already a live value) saves the whole-tile read at loop top.
         tau2_prev, bnorm2 = carry
         coef = jnp.where(t == 0, 0.0, (P - bnorm2 / n) / tau2_prev)
         w = fwht_slabs(lambda j: b_scr[:, cs(j)])
-        zb = [None] * f_a
         tau2_acc = jnp.float32(0.0)
         for a in range(f_a):
             zt = (y_ref[0, rs(a), :]
@@ -187,7 +196,6 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
                   * (w[a] * inv_sqrt_n)
                   + coef * z_scr[rs(a), :])
             z_scr[rs(a), :] = zt
-            zb[a] = zt
             tau2_acc += jnp.sum(zt * zt)
         tau2 = sched_ref[t] if has_sched else tau2_acc / n
         # the adjoint re-reads z tall from z_scr (just written): one extra
@@ -207,14 +215,35 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
                                  pv, bnew)
             b_scr[rs(a), :] = bnew
             bnorm2_new += jnp.sum(bnew * bnew)
-        r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        hit = (r_ids * 128 + c_ids) == t
-        trace_ref[0] = jnp.where(hit, tau2, trace_ref[0])
+        trace_write(t, tau2)
         return tau2, bnorm2_new
 
-    jax.lax.fori_loop(0, T, body,
-                      (jnp.float32(jnp.inf), jnp.float32(0.0)))
+    if tol == 0.0:
+        jax.lax.fori_loop(0, T, iterate,
+                          (jnp.float32(jnp.inf), jnp.float32(0.0)))
+    else:
+        # per-codeword early stop, same freeze semantics as the split
+        # kernel (see _amp_kernel_split): each grid program is one
+        # codeword, so the cond skips the whole iteration's work.
+        def body(t, carry):
+            tau2_prev, bnorm2, done, iters = carry
+
+            def frozen(_):
+                trace_write(t, tau2_prev)
+                return tau2_prev, bnorm2, jnp.float32(1.0), iters
+
+            def active(_):
+                tau2, bn = iterate(t, (tau2_prev, bnorm2))
+                conv = jnp.abs(tau2 - tau2_prev) < tol * tau2
+                return (tau2, bn, conv.astype(jnp.float32),
+                        iters + jnp.float32(1.0))
+
+            return jax.lax.cond(done > 0.0, frozen, active, 0)
+
+        _, _, _, iters = jax.lax.fori_loop(
+            0, T, body, (jnp.float32(jnp.inf), jnp.float32(0.0),
+                         jnp.float32(0.0), jnp.float32(0.0)))
+        trace_write(T, iters)
     beta_ref[0] = b_scr[:]
 
 
@@ -370,7 +399,7 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
 
 
 def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
-                has_sched: bool, has_pin: bool, *refs):
+                has_sched: bool, has_pin: bool, tol: float, *refs):
     """One codeword's full AMP run; grid = (B,).
 
     Refs: y (1, L, M) N-space embedded observation; mask (L, M) 0/1 row
@@ -396,7 +425,15 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
     # fold the loop-invariant mask*y into the aliased y block once
     y_ref[0] = mask * y_ref[0]
 
-    def body(t, tau2_prev):
+    def trace_write(t, val):
+        # Mosaic cannot store scalars to VMEM: write the tau2 trace as a
+        # masked RMW of the whole (8, 128) tile (4 KB, negligible).
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        hit = (r_ids * 128 + c_ids) == t
+        trace_ref[0] = jnp.where(hit, val, trace_ref[0])
+
+    def iterate(t, tau2_prev):
         beta = b_scr[:]
         z = z_scr[:]
         bnorm2 = jnp.sum(beta * beta)
@@ -421,15 +458,33 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
             bnew = jnp.where(jnp.sum(pv, axis=1, keepdims=True) > 0.0,
                              pv, bnew)
         b_scr[:] = bnew
-        # Mosaic cannot store scalars to VMEM: write the tau2 trace as a
-        # masked RMW of the whole (8, 128) tile (4 KB, negligible).
-        r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        hit = (r_ids * 128 + c_ids) == t
-        trace_ref[0] = jnp.where(hit, tau2, trace_ref[0])
+        trace_write(t, tau2)
         return tau2
 
-    jax.lax.fori_loop(0, T, body, jnp.float32(jnp.inf))
+    if tol == 0.0:
+        jax.lax.fori_loop(0, T, iterate, jnp.float32(jnp.inf))
+    else:
+        # per-codeword early stop (grid = one codeword per program, so the
+        # cond skips real work — same semantics as _amp_kernel_split)
+        def body(t, carry):
+            tau2_prev, done, iters = carry
+
+            def frozen(_):
+                trace_write(t, tau2_prev)
+                return tau2_prev, jnp.float32(1.0), iters
+
+            def active(_):
+                tau2 = iterate(t, tau2_prev)
+                conv = jnp.abs(tau2 - tau2_prev) < tol * tau2
+                return (tau2, conv.astype(jnp.float32),
+                        iters + jnp.float32(1.0))
+
+            return jax.lax.cond(done > 0.0, frozen, active, 0)
+
+        _, _, iters = jax.lax.fori_loop(
+            0, T, body,
+            (jnp.float32(jnp.inf), jnp.float32(0.0), jnp.float32(0.0)))
+        trace_write(T, iters)
     beta_ref[0] = b_scr[:]
 
 
@@ -544,8 +599,10 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
     decision-feedback pinning of App. A.7 step 5: rows holding sq*one_hot
     are overridden after every denoise, zero rows pass through.
     tol > 0 enables the in-kernel per-codeword early stop (XLA-scan freeze
-    semantics; split variant only — each grid program is one codeword, so
-    the skip saves real wall time, unlike the scan's mask).
+    semantics) on EVERY kernel form — mono, split, and slab: each grid
+    program is one codeword, so the `lax.cond` skip saves real wall time,
+    unlike the scan's mask.  tau2 schedules have no online estimate to
+    compare, so the caller must pass tol=0 with a schedule.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -598,9 +655,13 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
     use_split = (L > 1024) if split is None else split
     if form is None:
         form = "split" if use_split else "mono"
-    if tol:
-        assert form in (None, "split") and (use_split or form == "split"), \
-            "in-kernel early stop is implemented for the split variant"
+    elif form == "split":
+        use_split = True          # form routes (ADVICE r2): split forced
+    elif form == "mono":
+        assert L <= 1024, "monolithic H_L constant breaks Mosaic above 1024"
+        use_split = False
+    else:
+        assert form == "slab", form
     if form == "slab":
         f_b = min(f_b, L)
         assert L % f_b == 0, (L, f_b)
@@ -611,7 +672,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         m_a = M // m_b
         kernel = functools.partial(_amp_kernel_slab, T, n, float(P),
                                    inv_sqrt_n, f_a, f_b, m_a, m_b,
-                                   has_sched, has_pin)
+                                   has_sched, has_pin, float(tol))
         beta, trace = pl.pallas_call(
             kernel,
             in_specs=tile_specs + [
@@ -631,13 +692,16 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
           hadamard_factor(f_b, jnp.bfloat16),
           hadamard_factor(m_b, jnp.bfloat16),
           sq_npl.reshape(L, 1), *extra_in)
-        tr = trace.reshape(B, 8 * 128)[:, :T].T
+        flat = trace.reshape(B, 8 * 128)
+        tr = flat[:, :T].T
+        if tol:
+            return beta, tr, flat[:, T].astype(jnp.int32)
         return beta, tr
     if not use_split:
         hl = hadamard_factor(L, jnp.bfloat16)
         hm = hadamard_factor(M, jnp.bfloat16)
         kernel = functools.partial(_amp_kernel, T, n, float(P), inv_sqrt_n,
-                                   has_sched, has_pin)
+                                   has_sched, has_pin, float(tol))
         beta, trace = pl.pallas_call(
             kernel,
             in_specs=tile_specs + [
