@@ -132,9 +132,10 @@ def cmd_campaign(args) -> int:
         ctx.__enter__()
 
     if isinstance(cfg, ConcatConfig):
+        from .models.concat import ConcatSweep
+        csweep = ConcatSweep(cfg, use_pallas=args.pallas, policy=policy)
         def model_for_point(e):
-            return ConcatModel.build(cfg, e, use_pallas=args.pallas,
-                                     policy=policy)
+            return csweep.model_for_point(e)
         def k_bits(m):
             return m.k_user
     else:

@@ -75,10 +75,15 @@ class SparcModel:
 
     # ------------------------------------------------------------- encode
 
-    def build_beta(self, indices: jax.Array) -> jax.Array:
-        """(B, L) indices -> (B, ML) beta via one-hot scatter (App. A.1)."""
+    def build_beta(self, indices: jax.Array,
+                   sq_npl: Optional[jax.Array] = None) -> jax.Array:
+        """(B, L) indices -> (B, ML) beta via one-hot scatter (App. A.1).
+
+        sq_npl overrides the model constant so shared-compile sweeps can
+        pass the per-point power allocation as a traced argument."""
+        sq = self.sq_npl if sq_npl is None else sq_npl
         onehot = jax.nn.one_hot(indices, self.cfg.M, dtype=jnp.float32)
-        beta = self.sq_npl[None, :, None] * onehot
+        beta = sq[None, :, None] * onehot
         return beta.reshape(indices.shape[0], self.cfg.ML)
 
     def encode(self, bits: jax.Array) -> jax.Array:
@@ -93,9 +98,11 @@ class SparcModel:
     # ------------------------------------------------------------- decode
 
     def decode(self, y: jax.Array, T: Optional[int] = None,
+               sq_npl: Optional[jax.Array] = None,
                **amp_kw) -> AmpResult:
         return amp_decode(
-            y, self.op, self.sq_npl, self.cfg.P, self.cfg.n,
+            y, self.op, self.sq_npl if sq_npl is None else sq_npl,
+            self.cfg.P, self.cfg.n,
             T=T or self.cfg.amp_iters, tol=self.cfg.amp_tol,
             tau2_schedule=self.tau2_schedule,
             use_pallas_denoiser=self.use_pallas, policy=self.policy,

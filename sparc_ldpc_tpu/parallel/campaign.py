@@ -153,7 +153,9 @@ def run_campaign(
         # prefer a staged runner when the model provides one (ConcatModel:
         # three bounded jits beat the monolith in compile AND steady-state —
         # docs/PERF.md); counters are identical (test_parallel).
-        run_block = getattr(model, "run_block_staged", model.run_block)
+        run_block = getattr(model, "run_block_staged", None)
+        if run_block is None:
+            run_block = model.run_block
         tot = run_point(run_block, pkey, cfg.batch,
                         cfg.min_frame_errors, cfg.max_trials,
                         state=state, point_idx=pi, policy=policy,

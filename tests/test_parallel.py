@@ -269,6 +269,31 @@ def test_concat_staged_matches_monolithic():
     assert mono == staged
 
 
+def test_concat_sweep_shared_compile_matches_per_point():
+    """ConcatSweep (stage jits shared across Eb/N0 points) == per-point
+    ConcatModel staged runs, and the jit cache really is shared (3 entries
+    after two same-T points, not 6)."""
+    from sparc_ldpc_tpu.config import ConcatConfig, LdpcConfig
+    from sparc_ldpc_tpu.models.concat import ConcatModel, ConcatSweep
+
+    cfg = ConcatConfig(
+        sparc=SparcConfig(L=128, M=512, R=1.0, op_kind="hadamard",
+                          amp_iters=12, amp_tol=0.0),
+        ldpc=LdpcConfig(kind="array", z=13, rows_b=3, cols_b=12,
+                        bp_iters=24),
+        f_prot=0.5, feedback_iters=4)
+    sweep = ConcatSweep(cfg)
+    tk = rngu.trial_keys(rngu.base_key(7), 8)
+    for e in (4.0, 4.5):
+        pt = sweep.model_for_point(e)
+        assert getattr(pt.run_block_staged, "_prejitted", False)
+        got = {k: int(v) for k, v in pt.run_block_staged(tk).items()}
+        ref_m = ConcatModel.build(cfg, e)
+        ref = {k: int(v) for k, v in ref_m.run_block_staged(tk).items()}
+        assert got == ref, (e, got, ref)
+    assert len(sweep._jits) == 3, sweep._jits.keys()
+
+
 def test_dist_fwht_matches_local():
     """Hand hypercube-ppermute FWHT (parallel.dist_fwht) == local transform
     on every mesh shape, and self-inverse up to N."""
