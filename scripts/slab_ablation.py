@@ -8,6 +8,12 @@ timing only).  Variants:
   no_softmax  — exp/max/sum softmax replaced by a linear rescale
   no_consume  — z-update + softmax both trivial (transforms only)
   bf16_radix  — butterfly adds done in bf16 (packed VPU experiment)
+  fold_hfb    — inv_sqrt_n folded into the hfb factor constant, so both
+                per-transform scale multiplies vanish (round-2 VERDICT
+                weak #1 lever b; timing-only — bf16(c*+-1) rounds ~0.2%)
+  no_trace    — per-iteration (8,128) tau2-trace RMW elided (lever c)
+  exp2        — softmax exp as exp2(x*log2 e) (fused multiply; tests
+                whether the HW exp2 path beats the exp lowering)
 
 Usage: python scripts/slab_ablation.py [variants...]
 """
@@ -113,6 +119,11 @@ def make_kernel(mode, T, n, P, inv_sqrt_n, f_a, f_b, m_a, m_b):
                     zt = (y_ref[0, rs(a), :]
                           - mask_ref[rs(a), :] * w[a]
                           + coef * z_scr[rs(a), :])
+                elif mode == "fold_hfb":
+                    # hfb carries inv_sqrt_n, so w is already scaled
+                    zt = (y_ref[0, rs(a), :]
+                          - mask_ref[rs(a), :].astype(jnp.float32) * w[a]
+                          + coef * z_scr[rs(a), :])
                 else:
                     zt = (y_ref[0, rs(a), :]
                           - mask_ref[rs(a), :].astype(jnp.float32)
@@ -127,9 +138,17 @@ def make_kernel(mode, T, n, P, inv_sqrt_n, f_a, f_b, m_a, m_b):
             bnorm2_new = jnp.float32(0.0)
             for a in range(f_a):
                 sqa = sq_ref[rs(a), :]
-                s = sw[a] * inv_sqrt_n + b_scr[rs(a), :]
+                if mode == "fold_hfb":
+                    s = sw[a] + b_scr[rs(a), :]
+                else:
+                    s = sw[a] * inv_sqrt_n + b_scr[rs(a), :]
                 if mode in ("no_softmax", "no_consume"):
                     bnew = (sqa / tau2) * s * jnp.float32(1e-3)
+                elif mode == "exp2":
+                    x = (sqa / tau2) * s
+                    x = x - jnp.max(x, axis=1, keepdims=True)
+                    e = jnp.exp2(x * jnp.float32(1.4426950408889634))
+                    bnew = (sqa / jnp.sum(e, axis=1, keepdims=True)) * e
                 else:
                     x = (sqa / tau2) * s
                     x = x - jnp.max(x, axis=1, keepdims=True)
@@ -137,10 +156,11 @@ def make_kernel(mode, T, n, P, inv_sqrt_n, f_a, f_b, m_a, m_b):
                     bnew = (sqa / jnp.sum(e, axis=1, keepdims=True)) * e
                 b_scr[rs(a), :] = bnew
                 bnorm2_new += jnp.sum(bnew * bnew)
-            r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-            c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-            hit = (r_ids * 128 + c_ids) == t
-            trace_ref[0] = jnp.where(hit, tau2, trace_ref[0])
+            if mode != "no_trace":
+                r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                hit = (r_ids * 128 + c_ids) == t
+                trace_ref[0] = jnp.where(hit, tau2, trace_ref[0])
             return tau2, bnorm2_new
 
         jax.lax.fori_loop(0, T, body,
@@ -357,6 +377,10 @@ def run_variant(mode, model, B, T, reps=5):
         mask2d = (model.op.mask.reshape(L, M).astype(jnp.float32)
                   / math.sqrt(n))
     hfb = hadamard_factor(f_b, jnp.bfloat16)
+    if mode == "fold_hfb":
+        # +-inv_sqrt_n entries (bf16-rounded ~0.2% — timing-only variant)
+        hfb = (hadamard_factor(f_b, jnp.float32)
+               * (1.0 / math.sqrt(n))).astype(jnp.bfloat16)
     hmb = hadamard_factor(m_b, jnp.bfloat16)
     sq2 = model.sq_npl.reshape(L, 1)
 

@@ -1,0 +1,75 @@
+"""Judged-config artifact checks (round-2 VERDICT missing #2 / weak #4).
+
+Every sweep artifact under results/ that claims to describe a shipped
+preset must (a) exist for the judged configs, (b) carry provenance
+(preset + config_hash) matching the CURRENT preset, and (c) satisfy basic
+statistical discipline (min frame errors per point where the budget is
+reachable).  Tests skip point-first while an artifact is still being
+built, exactly like tests/test_ber_parity.py.
+"""
+
+import json
+import os
+
+import pytest
+
+from sparc_ldpc_tpu.config import PRESETS
+from sparc_ldpc_tpu.utils.provenance import config_hash
+
+RESULTS = os.path.join(os.path.dirname(__file__), "..", "results")
+
+# artifact file -> (preset name, min points, min frame errors per point)
+SWEEPS = {
+    "concat_sweep_r3.jsonl": ("concat", 5, 100),
+    "concat_wifi_sweep.jsonl": ("concat_wifi", 5, 100),
+    "fast_l4096_sweep.jsonl": ("fast_l4096", 5, 100),
+}
+
+
+def _points(fname):
+    path = os.path.join(RESULTS, fname)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()
+                if json.loads(line).get("kind") == "point"]
+
+
+@pytest.mark.parametrize("fname", sorted(SWEEPS))
+def test_sweep_artifact_current_and_disciplined(fname):
+    preset, min_points, min_fe = SWEEPS[fname]
+    pts = _points(fname)
+    if pts is None:
+        pytest.skip(f"artifact {fname} not built yet")
+    assert len(pts) >= min_points, (fname, len(pts))
+    want_hash = config_hash(PRESETS[preset])
+    for r in pts:
+        # provenance: the artifact must describe the SHIPPED preset
+        assert r.get("preset") == preset, r
+        assert r.get("config_hash") == want_hash, (
+            f"{fname}: stale artifact (config_hash {r.get('config_hash')} "
+            f"!= current {want_hash}) — regenerate with the shipped preset")
+        # statistical discipline: error budget met unless the trial cap
+        # bound it (thin high-SNR tails are allowed to cap out)
+        assert (r["frame_errors"] >= min_fe
+                or r["trials"] >= 0.99 * 100_000), r
+        # metric truthfulness: throughput is null or compile-free
+        assert r.get("bits_per_s") is None or r.get("blocks", 0) >= 2, r
+
+
+def test_stale_artifacts_are_marked():
+    """The round-1/2 artifacts that predate provenance stamping must not
+    masquerade as current: they either carry a config_hash (then it must
+    match) or are listed in results/STALE.md as superseded."""
+    stale_md = os.path.join(RESULTS, "STALE.md")
+    legacy = ["concat_sweep.jsonl", "pa_l1024_sweep.jsonl",
+              "pa_l1024_sweep_fused.jsonl"]
+    present = [f for f in legacy
+               if os.path.exists(os.path.join(RESULTS, f))]
+    if not present:
+        return
+    assert os.path.exists(stale_md), (
+        "legacy artifacts present but results/STALE.md missing")
+    listed = open(stale_md).read()
+    for f in present:
+        assert f in listed, f"{f} not marked stale in results/STALE.md"
