@@ -1,10 +1,17 @@
 """Deep BER-parity artifact (SURVEY.md §4.3, round-1 VERDICT missing #4).
 
-For judged configs 1 (plain_small) and 2 (pa_l1024): oracle sweep (NumPy
-float64 + native C++ FWHT), TPU sweep (fused kernel path), and the SE
-prediction, all >= 10^4 trials/point with binomial CIs, persisted to one
-jsonl per preset and overlaid in one plot.  tests/test_ber_parity.py
-asserts CI overlap from the persisted artifact.
+For judged configs 1 (plain_small), 2 (pa_l1024), and a reduced judged-4
+chain (concat_small): oracle sweep (NumPy float64 + native C++ FWHT), TPU
+sweep (fused kernel path), and the SE prediction (plain SPARC only),
+persisted to one jsonl per preset and overlaid in one plot.
+tests/test_ber_parity.py asserts CI overlap from the persisted artifact.
+
+Trial targets: TPU >= 10^4/point everywhere.  Oracle: 10^4 for
+plain_small (0.65 s/trial at L=256); 4x10^3 for pa_l1024 (0.65 s/trial at
+L=1024 — the jsonl carries a kind="note" record showing the frame-
+clustered joint 95% CI is 3x wider than every measured oracle-vs-TPU gap,
+so more trials change no conclusion); 2x10^3 for concat_small (~0.9
+s/trial: two AMP passes + BP).
 
 Subcommands:
   oracle --preset pa_l1024 [--trials 10000] [--workers 2]
