@@ -231,6 +231,48 @@ def test_fused_pinning_matches_xla_interpret(split, form):
 
 @pytest.mark.parametrize("split,form", [(False, None), (True, None),
                                         (None, "slab")])
+def test_fused_pinning_with_tol_matches_xla_interpret(split, form):
+    """Pinning + amp_tol together (the concat feedback pass ships both):
+    the in-kernel early stop and the pin override compose identically to
+    the XLA scan's freeze-mask + post-denoise override — equal decisions
+    AND equal per-codeword iteration counts on every kernel form.
+
+    tol=1e-2 on purpose: with 40% of sections pinned true, tau2 plateaus
+    so fast that successive relative deltas hover exactly around 1e-4,
+    where a low-bit cross-route difference legitimately flips the stop
+    (observed: equal-to-noise traces, stops 5 vs 11).  At 1e-2 the
+    crossing is a factor-17 drop and every route agrees exactly."""
+    from sparc_ldpc_tpu.models.amp import amp_decode
+
+    cfg = SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=12,
+                      amp_tol=1e-2, transform_precision="bf16")
+    m = SparcModel.build(cfg, ebno_db=6.0)
+    key = jax.random.key(5)
+    B = 4
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                (B, cfg.k_bits)).astype(jnp.int32)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (B, cfg.n))
+    y = m.encode(bits) + noise * np.sqrt(m.sigma2)
+    from sparc_ldpc_tpu.utils.bits import bits_to_indices
+    pin_mask = jnp.asarray(
+        np.random.default_rng(1).random((B, cfg.L)) < 0.4)
+    pin_oh = jax.nn.one_hot(bits_to_indices(bits, cfg.logM), cfg.M,
+                            dtype=jnp.float32)
+    kw = dict(T=cfg.amp_iters, tol=cfg.amp_tol, pinned_onehot=pin_oh,
+              pinned_mask=pin_mask)
+    r_xla = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, **kw)
+    r_fus = amp_decode(y, m.op, m.sq_npl, cfg.P, cfg.n, fused=True,
+                       fused_interpret=True, fused_split=split,
+                       fused_form=form, **kw)
+    assert int(jnp.sum(r_xla.iters)) < cfg.amp_iters * B, "stop not engaged"
+    np.testing.assert_array_equal(np.asarray(r_xla.iters),
+                                  np.asarray(r_fus.iters))
+    np.testing.assert_array_equal(np.asarray(hard_indices(r_xla.beta)),
+                                  np.asarray(hard_indices(r_fus.beta)))
+
+
+@pytest.mark.parametrize("split,form", [(False, None), (True, None),
+                                        (None, "slab")])
 def test_fused_se_schedule_matches_xla_interpret(split, form):
     """SE tau2 schedule (SMEM constant) on the fused kernel vs the XLA
     scan: schedule replaces the online estimate identically."""
