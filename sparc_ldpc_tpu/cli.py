@@ -208,7 +208,8 @@ def cmd_plot(args) -> int:
         return 1
     fig, ax = plt.subplots(1, 2, figsize=(11, 4))
     for path in args.results:
-        pts = [r for r in read_jsonl(path) if r.get("kind") == "point"]
+        recs = list(read_jsonl(path))
+        pts = [r for r in recs if r.get("kind") == "point"]
         if not pts:
             continue
         eb = [r["ebno_db"] for r in pts]
@@ -217,6 +218,14 @@ def cmd_plot(args) -> int:
                        "o-", label=label)
         ax[1].semilogy(eb, [max(r["fer"], 1e-12) for r in pts],
                        "s-", label=label)
+        # overlay SE-prediction legs when the artifact carries them
+        # (e.g. fast_l4096, where the float64 oracle is infeasible)
+        se = sorted((r["ebno_db"], r["ber"]) for r in recs
+                    if r.get("kind") == "se")
+        if se:
+            ax[0].semilogy([e for e, _ in se],
+                           [max(b, 1e-12) for _, b in se],
+                           "k--", alpha=0.7, label=f"{label} (SE)")
     for a, name in zip(ax, ("BER", "FER")):
         a.set_xlabel("Eb/N0 (dB)")
         a.set_ylabel(name)
