@@ -139,9 +139,9 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
     """
     from jax.experimental import pallas as pl
 
-    ((y_ref, mask_ref, hfb_ref, hmb_ref, sq_ref), sched_ref, pin_ref,
-     (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
-        refs, 5, has_sched, has_pin)
+    ((y_ref, mask_ref, hfb_ref, hmb_ref, sqi_ref, sqo_ref), sched_ref,
+     pin_ref, (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
+        refs, 6, has_sched, has_pin)
     L, M = b_scr.shape
 
     def rs(a):
@@ -174,8 +174,9 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
     b_scr[:] = jnp.zeros((L, M), jnp.float32)
     z_scr[:] = jnp.zeros((L, M), jnp.float32)
     trace_ref[0] = jnp.zeros(trace_ref.shape[1:], jnp.float32)
-    # mask*y is loop-invariant: fold it into the aliased y block once.
-    y_ref[0] = mask_ref[:].astype(jnp.float32) * y_ref[0]
+    # mask*y is loop-invariant: fold it into the aliased y block once
+    # (mask_ref carries mask/n, so select on sign instead of multiplying).
+    y_ref[0] = jnp.where(mask_ref[:] > 0.0, y_ref[0], 0.0)
 
     def trace_write(t, val):
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -186,14 +187,19 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
     def iterate(t, carry):
         # carrying ||beta||^2 forward from the softmax (where bnew is
         # already a live value) saves the whole-tile read at loop top.
+        # Scale-free scheme (round-3; measured -3.4% in the fold_hfb
+        # ablation, here exact in f32): b_scr holds beta*sqrt(n), mask_ref
+        # holds mask/n, sqi/sqo hold sq*inv_sqrt_n / sq*sqrt(n), so the
+        # two per-tile scale multiplies (w*inv, sw*inv) vanish and all
+        # compensation lives in per-row/scalar constants.  z and tau2 stay
+        # in TRUE scale, so stop rules and traces are unchanged.
         tau2_prev, bnorm2 = carry
-        coef = jnp.where(t == 0, 0.0, (P - bnorm2 / n) / tau2_prev)
+        coef = jnp.where(t == 0, 0.0, (P - bnorm2 / (n * n)) / tau2_prev)
         w = fwht_slabs(lambda j: b_scr[:, cs(j)])
         tau2_acc = jnp.float32(0.0)
         for a in range(f_a):
             zt = (y_ref[0, rs(a), :]
-                  - mask_ref[rs(a), :].astype(jnp.float32)
-                  * (w[a] * inv_sqrt_n)
+                  - mask_ref[rs(a), :] * w[a]
                   + coef * z_scr[rs(a), :])
             z_scr[rs(a), :] = zt
             tau2_acc += jnp.sum(zt * zt)
@@ -203,12 +209,13 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
         sw = fwht_slabs(lambda j: z_scr[:, cs(j)])
         bnorm2_new = jnp.float32(0.0)
         for a in range(f_a):
-            sqa = sq_ref[rs(a), :]                        # (f_b, 1)
-            s = sw[a] * inv_sqrt_n + b_scr[rs(a), :]
-            x = (sqa / tau2) * s
+            sqia = sqi_ref[rs(a), :]                      # (f_b, 1)
+            sqoa = sqo_ref[rs(a), :]
+            s = sw[a] + b_scr[rs(a), :]
+            x = (sqia / tau2) * s
             x = x - jnp.max(x, axis=1, keepdims=True)
             e = jnp.exp(x)
-            bnew = (sqa / jnp.sum(e, axis=1, keepdims=True)) * e
+            bnew = (sqoa / jnp.sum(e, axis=1, keepdims=True)) * e
             if has_pin:
                 pv = pin_ref[0, rs(a), :]
                 bnew = jnp.where(jnp.sum(pv, axis=1, keepdims=True) > 0.0,
@@ -244,7 +251,9 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
             0, T, body, (jnp.float32(jnp.inf), jnp.float32(0.0),
                          jnp.float32(0.0), jnp.float32(0.0)))
         trace_write(T, iters)
-    beta_ref[0] = b_scr[:]
+    # b_scr holds beta*sqrt(n) (scale-free scheme): one rescale per
+    # codeword restores true scale, amortized over all T iterations.
+    beta_ref[0] = b_scr[:] * inv_sqrt_n
 
 
 def _unpack_refs(refs, n_in: int, has_sched: bool, has_pin: bool):
@@ -285,12 +294,14 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
     """
     from jax.experimental import pallas as pl
 
-    ((y_ref, mask_ref, hfa_ref, hfb_ref, hmb_ref, sq_ref), sched_ref,
-     pin_ref, (beta_ref, trace_ref, z_scr, b_scr, w_scr)) = _unpack_refs(
-        refs, 6, has_sched, has_pin)
+    ((y_ref, mask_ref, hfa_ref, hfb_ref, hmb_ref, sqi_ref, sqo_ref),
+     sched_ref, pin_ref,
+     (beta_ref, trace_ref, z_scr, b_scr, w_scr)) = _unpack_refs(
+        refs, 7, has_sched, has_pin)
     L, M = b_scr.shape
-    mask = mask_ref[:].astype(jnp.float32)
-    sq = sq_ref[:]
+    mask = mask_ref[:]                  # carries mask/n (scale-free scheme)
+    sqi = sqi_ref[:]                    # sq * inv_sqrt_n
+    sqo = sqo_ref[:]                    # sq * sqrt(n)
 
     def fwht_tile(x):
         if m_a == 1:
@@ -327,8 +338,9 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
     z_scr[:] = jnp.zeros((L, M), jnp.float32)
     trace_ref[0] = jnp.zeros(trace_ref.shape[1:], jnp.float32)
     # mask*y is loop-invariant: fold it into the aliased y block once so the
-    # loop does one full-tile multiply per residual update instead of two.
-    y_ref[0] = mask * y_ref[0]
+    # loop does one full-tile multiply per residual update instead of two
+    # (mask carries mask/n, so select on sign instead of multiplying).
+    y_ref[0] = jnp.where(mask > 0.0, y_ref[0], 0.0)
 
     def trace_write(t, val):
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -337,23 +349,26 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
         trace_ref[0] = jnp.where(hit, val, trace_ref[0])
 
     def iterate(t, tau2_prev):
+        # Scale-free scheme (see _amp_kernel_slab): b_scr holds
+        # beta*sqrt(n); both per-tile scale multiplies vanish, z and tau2
+        # stay in true scale.
         beta = b_scr[:]
         bnorm2 = jnp.sum(beta * beta)
-        coef = jnp.where(t == 0, 0.0, (P - bnorm2 / n) / tau2_prev)
-        w = fwht_tile(beta) * inv_sqrt_n
+        coef = jnp.where(t == 0, 0.0, (P - bnorm2 / (n * n)) / tau2_prev)
+        w = fwht_tile(beta)
         z = y_ref[0] - mask * w + coef * z_scr[:]
         z_scr[:] = z
         if has_sched:
             tau2 = sched_ref[t]
         else:
             tau2 = jnp.sum(z * z) / n
-        s = fwht_tile(z) * inv_sqrt_n + b_scr[:]
+        s = fwht_tile(z) + b_scr[:]
         # divisions are many-cycle VPU ops: do them once per row/scalar and
         # broadcast the reciprocal as a multiply over the (L, M) tile.
-        a = (sq / tau2) * s
+        a = (sqi / tau2) * s
         a = a - jnp.max(a, axis=1, keepdims=True)
         e = jnp.exp(a)
-        bnew = (sq / jnp.sum(e, axis=1, keepdims=True)) * e
+        bnew = (sqo / jnp.sum(e, axis=1, keepdims=True)) * e
         if has_pin:
             # pinned rows hold sq*one_hot (> 0 somewhere); row sum doubles
             # as the mask, matching the XLA path's post-denoise override.
@@ -395,7 +410,9 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
         # iterations-used count rides the spare trace slot T (T <= 1023
         # when tol > 0; amp_fused unpacks it into AmpResult.iters)
         trace_write(T, iters)
-    beta_ref[0] = b_scr[:]
+    # b_scr holds beta*sqrt(n) (scale-free scheme): one rescale per
+    # codeword restores true scale, amortized over all T iterations.
+    beta_ref[0] = b_scr[:] * inv_sqrt_n
 
 
 def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
@@ -408,22 +425,24 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
     Outputs: beta (1, L, M); trace (1, 8, 128) padded tau2 trace.
     Scratch: z (L, M) N-space residual, b (L, M) beta state, both f32.
     """
-    ((y_ref, mask_ref, hl_ref, hm_ref, sq_ref), sched_ref, pin_ref,
-     (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
-        refs, 5, has_sched, has_pin)
+    ((y_ref, mask_ref, hl_ref, hm_ref, sqi_ref, sqo_ref), sched_ref,
+     pin_ref, (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
+        refs, 6, has_sched, has_pin)
     L, M = b_scr.shape
     # NOTE: y_ref is aliased with beta_ref (input_output_aliases) to halve
     # the double-buffered block footprint; copy y into VMEM-scratch-free
     # registers is not possible, so we read it from the shared buffer all
     # loop long and only overwrite it at the very end.
-    mask = mask_ref[:].astype(jnp.float32)
-    sq = sq_ref[:]
+    mask = mask_ref[:]                  # carries mask/n (scale-free scheme)
+    sqi = sqi_ref[:]                    # sq * inv_sqrt_n
+    sqo = sqo_ref[:]                    # sq * sqrt(n)
 
     b_scr[:] = jnp.zeros((L, M), jnp.float32)
     z_scr[:] = jnp.zeros((L, M), jnp.float32)
     trace_ref[0] = jnp.zeros(trace_ref.shape[1:], jnp.float32)
     # fold the loop-invariant mask*y into the aliased y block once
-    y_ref[0] = mask * y_ref[0]
+    # (mask carries mask/n, so select on sign instead of multiplying)
+    y_ref[0] = jnp.where(mask > 0.0, y_ref[0], 0.0)
 
     def trace_write(t, val):
         # Mosaic cannot store scalars to VMEM: write the tau2 trace as a
@@ -434,12 +453,15 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
         trace_ref[0] = jnp.where(hit, val, trace_ref[0])
 
     def iterate(t, tau2_prev):
+        # Scale-free scheme (see _amp_kernel_slab): b_scr holds
+        # beta*sqrt(n); the per-tile scale multiplies are folded into the
+        # mask (mask/n) and the per-row softmax constants.
         beta = b_scr[:]
         z = z_scr[:]
         bnorm2 = jnp.sum(beta * beta)
-        coef = jnp.where(t == 0, 0.0, (P - bnorm2 / n) / tau2_prev)
-        # forward transform: W = (H_L @ (beta @ H_M)) / sqrt(n)
-        w = _mm(hl_ref[:], _mm(beta, hm_ref[:])) * inv_sqrt_n
+        coef = jnp.where(t == 0, 0.0, (P - bnorm2 / (n * n)) / tau2_prev)
+        # forward transform (unnormalized): W' = H_L @ (beta' @ H_M)
+        w = _mm(hl_ref[:], _mm(beta, hm_ref[:]))
         z = y_ref[0] - mask * w + coef * z
         z_scr[:] = z
         if has_sched:
@@ -447,12 +469,12 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
         else:
             tau2 = jnp.sum(z * z) / n
         # adjoint (self-adjoint transform, same tile)
-        s = _mm(hl_ref[:], _mm(z, hm_ref[:])) * inv_sqrt_n + beta
+        s = _mm(hl_ref[:], _mm(z, hm_ref[:])) + beta
         # per-row reciprocals instead of (L, M) elementwise divisions
-        a = (sq / tau2) * s
+        a = (sqi / tau2) * s
         a = a - jnp.max(a, axis=1, keepdims=True)
         e = jnp.exp(a)
-        bnew = (sq / jnp.sum(e, axis=1, keepdims=True)) * e
+        bnew = (sqo / jnp.sum(e, axis=1, keepdims=True)) * e
         if has_pin:
             pv = pin_ref[0]
             bnew = jnp.where(jnp.sum(pv, axis=1, keepdims=True) > 0.0,
@@ -485,7 +507,9 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
             0, T, body,
             (jnp.float32(jnp.inf), jnp.float32(0.0), jnp.float32(0.0)))
         trace_write(T, iters)
-    beta_ref[0] = b_scr[:]
+    # b_scr holds beta*sqrt(n) (scale-free scheme): one rescale per
+    # codeword restores true scale, amortized over all T iterations.
+    beta_ref[0] = b_scr[:] * inv_sqrt_n
 
 
 def _fwht_tile_kernel(f_a: int, f_b: int, m_a: int, m_b: int, scale: float,
@@ -618,7 +642,8 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         extra_in.append(jnp.asarray(tau2_schedule, jnp.float32))
         extra_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     if has_pin:
-        extra_in.append(pin_val.astype(jnp.float32))
+        # pinned rows live in the kernel's beta*sqrt(n) scale
+        extra_in.append(pin_val.astype(jnp.float32) * math.sqrt(n))
         extra_specs.append(pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
                                         memory_space=pltpu.VMEM))
     common = dict(
@@ -646,7 +671,14 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((L, M), lambda b: (0, 0), memory_space=pltpu.VMEM),
     ]
-    sq2 = sq_npl.reshape(L, 1)
+    # scale-free scheme constants: the kernels keep beta scaled by sqrt(n)
+    # so every per-tile scale multiply folds into these (exact in f32 —
+    # unlike folding inv_sqrt_n into the bf16 Hadamard factors).
+    mask_n = mask.astype(jnp.float32) / n
+    sqi2 = (sq_npl * inv_sqrt_n).reshape(L, 1)
+    sqo2 = (sq_npl * math.sqrt(n)).reshape(L, 1)
+    sq_spec = pl.BlockSpec((L, 1), lambda b: (0, 0),
+                           memory_space=pltpu.VMEM)
     # The split variant is mandatory above L=1024 (the monolithic H_L
     # constant breaks Mosaic compile) and optional below it: it trades the
     # O(L) per-element transform cost for O(f_a + f_b), i.e. ~2.4x fewer
@@ -680,18 +712,17 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((m_b, m_b), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, 1), lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
+                sq_spec, sq_spec,
             ] + extra_specs,
             scratch_shapes=[
                 pltpu.VMEM((L, M), jnp.float32),
                 pltpu.VMEM((L, M), jnp.float32),
             ],
             **common,
-        )(y_n, mask.astype(jnp.bfloat16),
+        )(y_n, mask_n,
           hadamard_factor(f_b, jnp.bfloat16),
           hadamard_factor(m_b, jnp.bfloat16),
-          sq_npl.reshape(L, 1), *extra_in)
+          sqi2, sqo2, *extra_in)
         flat = trace.reshape(B, 8 * 128)
         tr = flat[:, :T].T
         if tol:
@@ -709,15 +740,14 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((M, M), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, 1), lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
+                sq_spec, sq_spec,
             ] + extra_specs,
             scratch_shapes=[
                 pltpu.VMEM((L, M), jnp.float32),
                 pltpu.VMEM((L, M), jnp.float32),
             ],
             **common,
-        )(y_n, mask.astype(jnp.bfloat16), hl, hm, sq2, *extra_in)
+        )(y_n, mask_n, hl, hm, sqi2, sqo2, *extra_in)
     else:
         # decompose H_L = H_{f_a} (x) H_{f_b}; no O(L^2) constant.  The
         # outer H_{f_a} runs as VPU tile butterflies when f_a is small
@@ -751,8 +781,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((m_b, m_b), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, 1), lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
+                sq_spec, sq_spec,
             ] + extra_specs,
             scratch_shapes=[
                 pltpu.VMEM((L, M), jnp.float32),
@@ -760,7 +789,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
                 pltpu.VMEM((L, M), jnp.float32),
             ],
             **common,
-        )(y_n, mask.astype(jnp.bfloat16), hfa, hfb, hmb, sq2, *extra_in)
+        )(y_n, mask_n, hfa, hfb, hmb, sqi2, sqo2, *extra_in)
     # unpack padded trace -> (T, B); slot T carries the per-codeword
     # iterations-used count when the early stop is on
     flat = trace.reshape(B, 8 * 128)
