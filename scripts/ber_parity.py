@@ -196,7 +196,7 @@ def run_oracle(preset, trials, workers):
 
 # -------------------------------------------------------------------- tpu
 
-def run_tpu_concat(preset, trials, batch):
+def run_tpu_concat(preset, trials, batch, force=False):
     """TPU leg of the concat CI artifact: the full chain at the shipped
     kernel route (fused split inner+feedback AMP, QC/array BP), counters
     from run_block_staged — the exact production path."""
@@ -211,7 +211,8 @@ def run_tpu_concat(preset, trials, batch):
         transform_precision="bf16"))
     n_blocks = (trials + batch - 1) // batch
     for pi, ebno in enumerate(GRIDS[preset]):
-        if have(preset, "tpu", ebno, min_trials=n_blocks * batch):
+        if not force and have(preset, "tpu", ebno,
+                              min_trials=n_blocks * batch):
             print(f"tpu {preset} @ {ebno}: already done", flush=True)
             continue
         model = ConcatModel.build(cfg, ebno_db=ebno)
@@ -243,7 +244,7 @@ def run_tpu_concat(preset, trials, batch):
             kernel=cfg.sparc.amp_kernel))
 
 
-def run_tpu(preset, trials, batch):
+def run_tpu(preset, trials, batch, force=False):
     import jax
 
     from dataclasses import replace
@@ -251,12 +252,13 @@ def run_tpu(preset, trials, batch):
     from sparc_ldpc_tpu.utils import rng as rngu
 
     if preset in CONCAT_PRESETS:
-        return run_tpu_concat(preset, trials, batch)
+        return run_tpu_concat(preset, trials, batch, force=force)
     cfg = replace(PRESETS[preset], amp_kernel="fused_split", amp_tol=0.0,
                   transform_precision="bf16")
     n_blocks = (trials + batch - 1) // batch
     for pi, ebno in enumerate(GRIDS[preset]):
-        if have(preset, "tpu", ebno, min_trials=n_blocks * batch):
+        if not force and have(preset, "tpu", ebno,
+                              min_trials=n_blocks * batch):
             print(f"tpu {preset} @ {ebno}: already done", flush=True)
             continue
         model = SparcModel.build(cfg, ebno_db=ebno)
@@ -426,6 +428,10 @@ def main():
     ap.add_argument("--trials", type=int, default=10000)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--force", action="store_true",
+                    help="re-run legs even when records already exist "
+                         "(appends; tests read the LAST record per point, "
+                         "so this re-anchors the artifact on current code)")
     args = ap.parse_args()
     presets = args.preset or list(GRIDS)
     if args.cmd == "oracle":
@@ -433,7 +439,8 @@ def main():
             run_oracle(p, args.trials, args.workers)
     elif args.cmd == "tpu":
         for p in presets:
-            run_tpu(p, max(args.trials, 10240), args.batch)
+            run_tpu(p, max(args.trials, 10240), args.batch,
+                    force=args.force)
     elif args.cmd == "se":
         for p in presets:
             run_se(p)
