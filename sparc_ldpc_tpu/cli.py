@@ -59,6 +59,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="use the Pallas kernel paths")
     c.add_argument("--fused", action="store_true",
                    help="use the fused whole-AMP mega-kernel (fixed-T)")
+    c.add_argument("--amp-iters", type=int, default=None,
+                   help="override the AMP iteration cap (e.g. 64 for "
+                        "mid-waterfall points where SE needs >32 iters)")
     c.add_argument("--auto-iters", action="store_true",
                    help="SE-derived per-point AMP iteration budget "
                         "(amp_iters becomes the cap; design/se.py)")
@@ -108,6 +111,12 @@ def cmd_campaign(args) -> int:
         else:
             cfg = cfg.replace(amp_kernel="fused_split", amp_tol=0.0,
                               transform_precision="bf16")
+    if args.amp_iters:
+        if isinstance(cfg, ConcatConfig):
+            cfg = cfg.replace(sparc=cfg.sparc.replace(
+                amp_iters=args.amp_iters))
+        else:
+            cfg = cfg.replace(amp_iters=args.amp_iters)
     if args.auto_iters:
         if isinstance(cfg, ConcatConfig):
             cfg = cfg.replace(sparc=cfg.sparc.replace(amp_iters_auto=True))

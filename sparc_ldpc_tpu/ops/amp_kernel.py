@@ -419,11 +419,14 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
                 has_sched: bool, has_pin: bool, tol: float, *refs):
     """One codeword's full AMP run; grid = (B,).
 
-    Refs: y (1, L, M) N-space embedded observation; mask (L, M) 0/1 row
-    support; hl (L, L), hm (M, M) Hadamard factors; sq (L, 1) sqrt(n P_l);
-    optional SE tau2 schedule (SMEM (T,)) and pin tensor (1, L, M).
-    Outputs: beta (1, L, M); trace (1, 8, 128) padded tau2 trace.
-    Scratch: z (L, M) N-space residual, b (L, M) beta state, both f32.
+    Refs: y (1, L, M) N-space embedded observation; mask (L, M) row
+    support scaled to mask/n (scale-free scheme); hl (L, L), hm (M, M)
+    Hadamard factors; sqi/sqo (L, 1) pre-scaled sqrt(n P_l) constants
+    (x inv_sqrt_n / x sqrt(n)); optional SE tau2 schedule (SMEM (T,))
+    and pin tensor (1, L, M) in beta*sqrt(n) scale.
+    Outputs: beta (1, L, M) true scale; trace (1, 8, 128) tau2 trace.
+    Scratch: z (L, M) N-space residual (true scale), b (L, M) beta
+    state x sqrt(n), both f32.
     """
     ((y_ref, mask_ref, hl_ref, hm_ref, sqi_ref, sqo_ref), sched_ref,
      pin_ref, (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
