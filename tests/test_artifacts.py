@@ -24,6 +24,7 @@ SWEEPS = {
     "concat_wifi_sweep.jsonl": ("concat_wifi", 5, 100),
     "fast_l4096_sweep.jsonl": ("fast_l4096", 5, 100),
     "pa_l1024_sweep_r3.jsonl": ("pa_l1024", 7, 100),
+    "concat_r56_sweep.jsonl": ("concat_r56", 5, 100),
 }
 
 
