@@ -59,13 +59,13 @@ def main():
     B = 2048        # codewords per block (amortizes the ~30 ms relay sync;
                     # 50.1 (B=1024) -> 52.8 (B=2048) Mbit/s at T=22 — PERF.md)
     EBNO = 2.0
-    # amp_kernel="fused_slab": whole-AMP Pallas mega-kernel — all T
-    # iterations per codeword in VMEM (ops/amp_kernel.py), block-value
-    # dataflow form (H_1024 = H_8 (x) H_128 on rows, H_512 = H_4 (x) H_128
-    # on columns; outer factors as VPU value-form butterflies, no full
-    # (L, M) intermediate).  Round-3 A/B at B=2048/T=22 (2 reps each):
-    # slab 53.09/52.95 vs split 52.13/52.47 Mbit/s — slab consistently
-    # ~1% ahead; both ~2.5x the best XLA path.  Identical decode quality;
+    # amp_kernel="fused_split": whole-TRIAL Pallas mega-kernel — encode,
+    # channel add, and all T AMP iterations per codeword in VMEM
+    # (ops/amp_kernel.py; in-kernel encode is round 3's big lever: the
+    # XLA one-hot + encode-FWHT pipeline was 24% of block wall).
+    # Round-3 A/B at B=2048/T=22 with in-kernel encode: split
+    # 65.3/65.0 vs slab 58.8/58.1 Mbit/s (split's staged transform
+    # absorbs the encode prologue better).  Identical decode quality;
     # parity tests in tests/test_precision.py, history docs/PERF.md.
     # amp_iters_auto: SE-derived per-point iteration budget (round-1
     # VERDICT item 8).  SE plateaus at t=19 (tol 1e-4) at this operating
@@ -75,7 +75,7 @@ def main():
     # identically.  T=32 stays the cap.
     cfg = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                       op_kind="hadamard", amp_iters=T, amp_tol=0.0,
-                      transform_precision="bf16", amp_kernel="fused_slab",
+                      transform_precision="bf16", amp_kernel="fused_split",
                       amp_iters_auto=True)
 
     log(f"devices: {jax.devices()}")

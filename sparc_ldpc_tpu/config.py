@@ -100,6 +100,14 @@ class SparcConfig:
     # H_fb) even at L <= 1024 — ~2.4x fewer transform FLOPs; A/B it per
     # config (docs/PERF.md).
     amp_kernel: str = "xla"   # "xla" | "fused" | "fused_split" | "fused_slab"
+    # In-kernel encode (round 3): on the fused single-device path,
+    # run_block passes the true section indices + embedded noise and the
+    # kernel synthesizes x = A beta0 itself — the XLA one-hot + encode
+    # FWHT (24% of headline block wall) disappear.  Same math and RNG
+    # draws; x differs from the XLA encode only in bf16 rounding
+    # association.  Set False to force the XLA encode (e.g. for
+    # bitwise-identical cross-route comparisons at tol > 0).
+    amp_encode_in_kernel: bool = True
     # SE-derived per-point iteration budget (SURVEY.md §7 hard-part 4,
     # round-1 VERDICT item 8): when True, SparcModel.build shrinks
     # amp_iters to design.se.se_converged_iters(tol=amp_auto_tol,

@@ -62,6 +62,8 @@ def amp_decode(
     fused_interpret: bool = False,
     fused_split: Optional[bool] = None,   # None = auto (split iff L > 1024)
     fused_form: Optional[str] = None,     # "slab" = block-value dataflow kernel
+    encode_idx: Optional[jax.Array] = None,  # (B, L) int32: y IS the noise,
+                                             # kernel synthesizes the codeword
 ) -> AmpResult:
     B = y.shape[0]
     L = sq_npl.shape[0]
@@ -103,12 +105,16 @@ def amp_decode(
                             interpret=fused_interpret,
                             split=fused_split, form=fused_form,
                             tau2_schedule=tau2_schedule,
-                            pin_val=pin_val, tol=k_tol)
+                            pin_val=pin_val, tol=k_tol,
+                            encode_idx=encode_idx)
             if k_tol:
                 beta3, trace, iters = out
             else:
                 beta3, trace = out
         else:
+            assert encode_idx is None, (
+                "in-kernel encode is a single-device/pure-jit-GSPMD "
+                "optimization; sharded-policy callers encode in XLA")
             from ..parallel.amp_sharded import amp_fused_sharded
             beta3, trace, iters = amp_fused_sharded(
                 y_n, mask2d, sq_npl, P, n, T, policy,
@@ -119,6 +125,9 @@ def amp_decode(
         scores = jnp.log(jnp.maximum(post, jnp.finfo(y.dtype).tiny))
         return AmpResult(beta=beta3, posteriors=post, scores=scores,
                          tau2_trace=trace, iters=iters)
+    assert encode_idx is None, (
+        "encode_idx requires the fused kernel path (op.mask present, "
+        "L <= 4096); XLA-path callers encode outside amp_decode")
     dn = denoise_pallas if use_pallas_denoiser else denoise
     c_bml = policy.constrain_bml if policy is not None else (lambda x: x)
     c_blm = policy.constrain_blm if policy is not None else (lambda x: x)

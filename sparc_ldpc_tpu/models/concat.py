@@ -105,7 +105,35 @@ class ConcatModel:
         idx = bits_to_indices(all_bits, logM)
         return self.sparc.op.Ax(self.sparc.build_beta(idx, sq_npl))
 
+    def _true_indices(self, user_bits: jax.Array,
+                      ) -> jax.Array:
+        """(B, k_user) -> (B, L) per-section true indices (encode's index
+        chain without the transform — the in-kernel-encode input)."""
+        B = user_bits.shape[0]
+        logM = self.cfg.sparc.logM
+        nu = self.Lu * logM
+        unprot = user_bits[:, :nu]
+        msgs = user_bits[:, nu:].reshape(B * self.num_cw, self.ldpc.k)
+        cw = self.ldpc.encode(msgs).reshape(B, self.num_cw * self.ldpc.n)
+        return bits_to_indices(jnp.concatenate([unprot, cw], axis=1), logM)
+
     # ------------------------------------------------------------- decode
+
+    @property
+    def _enc_in_kernel(self) -> bool:
+        """In-kernel encode eligibility for the SELF-GENERATED trial paths
+        (run_block*/_stage_gen): the inner SPARC kernel synthesizes
+        x = A beta itself from the true section indices, so the staged
+        pipeline carries the embedded NOISE as `y` and re-synthesizes the
+        signal again in the pinned feedback pass (same true indices =>
+        identical y, one extra in-kernel transform).  The public
+        decode(y) API is untouched — it receives a real observation.
+        Mirrors SparcModel.run_block_params (docs/PERF.md round 3)."""
+        c = self.cfg.sparc
+        return (c.amp_kernel.startswith("fused") and c.amp_encode_in_kernel
+                and self.sparc.policy is None
+                and self.sparc.op.mask is not None
+                and c.L <= 4096 and c.M <= 1024)
 
     def _protected_llrs(self, scores: jax.Array) -> jax.Array:
         """Log-posterior scores -> bitwise LLRs for protected sections.
@@ -139,7 +167,9 @@ class ConcatModel:
 
     def _feedback_user_bits(self, y: jax.Array, cw_hat: jax.Array,
                             ok: jax.Array,
-                            sq_npl: Optional[jax.Array] = None) -> jax.Array:
+                            sq_npl: Optional[jax.Array] = None,
+                            enc_idx: Optional[jax.Array] = None
+                            ) -> jax.Array:
         """(5)-(6): gated pinned re-AMP -> assembled user bits (B, k_user).
 
         Only sections whose bits all come from syndrome-verified codewords
@@ -160,7 +190,8 @@ class ConcatModel:
         pin_onehot = jax.nn.one_hot(full_idx, M, dtype=y.dtype)
         res2 = self.sparc.decode(
             y, T=self.cfg.feedback_iters, sq_npl=sq_npl,
-            pinned_onehot=pin_onehot, pinned_mask=pin_mask)
+            pinned_onehot=pin_onehot, pinned_mask=pin_mask,
+            encode_idx=enc_idx)
         unprot_idx = hard_indices(res2.beta)[:, : self.Lu]
         unprot_bits = indices_to_bits(unprot_idx, logM)
         msg_bits = self.ldpc.extract_message(
@@ -207,20 +238,30 @@ class ConcatModel:
         bits = jax.vmap(
             lambda k: jax.random.bernoulli(k, 0.5, (self.k_user,))
         )(mkeys).astype(jnp.int32)
-        x = self.encode(bits, sq_npl)
         noise = jax.vmap(
             lambda k: jax.random.normal(k, (self.sparc.cfg.n,),
                                         dtype=jnp.float32))(nkeys)
-        y = x + noise * sigma
-        res = self.sparc.decode(y, sq_npl=sq_npl)
-        return bits, y, res.scores, res.iters
+        if self._enc_in_kernel:
+            # y carries the NOISE; the kernel adds mask o (A beta0)
+            # itself (and again in the stage-3 feedback pass)
+            idx = self._true_indices(bits)
+            y = noise * sigma
+            res = self.sparc.decode(y, sq_npl=sq_npl, encode_idx=idx)
+        else:
+            idx = jnp.zeros((bits.shape[0], self.cfg.sparc.L), jnp.int32)
+            y = self.encode(bits, sq_npl) + noise * sigma
+            res = self.sparc.decode(y, sq_npl=sq_npl)
+        return bits, y, res.scores, res.iters, idx
 
-    def _stage_finish(self, y, cw_hat, ok, bits, amp_iters):
+    def _stage_finish(self, y, cw_hat, ok, bits, amp_iters, enc_idx):
         return self._stage_finish_params(y, cw_hat, ok, bits, amp_iters,
-                                         self.sparc.sq_npl)
+                                         enc_idx, self.sparc.sq_npl)
 
-    def _stage_finish_params(self, y, cw_hat, ok, bits, amp_iters, sq_npl):
-        user_hat = self._feedback_user_bits(y, cw_hat, ok, sq_npl)
+    def _stage_finish_params(self, y, cw_hat, ok, bits, amp_iters, enc_idx,
+                             sq_npl):
+        user_hat = self._feedback_user_bits(
+            y, cw_hat, ok, sq_npl,
+            enc_idx=enc_idx if self._enc_in_kernel else None)
         bit_errors = jnp.sum(bits != user_hat, axis=-1)
         return dict(
             bit_errors=jnp.sum(bit_errors),
@@ -240,10 +281,11 @@ class ConcatModel:
 
     def run_block_staged(self, tkeys: jax.Array) -> Dict[str, jax.Array]:
         """Three bounded jits instead of one monolith (see note above)."""
-        bits, y, scores, iters = self._jit("s1", self._stage_gen_amp)(tkeys)
+        bits, y, scores, iters, idx = self._jit(
+            "s1", self._stage_gen_amp)(tkeys)
         cw_hat, ok, _ = self._jit("s2", self._bp_from_scores)(scores)
         return self._jit("s3", self._stage_finish)(y, cw_hat, ok, bits,
-                                                   iters)
+                                                   iters, idx)
     run_block_staged._prejitted = True   # campaign must not wrap in jit
 
     def run_block(self, tkeys: jax.Array) -> Dict[str, jax.Array]:
@@ -253,12 +295,23 @@ class ConcatModel:
         bits = jax.vmap(
             lambda k: jax.random.bernoulli(k, 0.5, (self.k_user,))
         )(mkeys).astype(jnp.int32)
-        x = self.encode(bits)
         noise = jax.vmap(
             lambda k: jax.random.normal(k, (self.sparc.cfg.n,),
                                         dtype=jnp.float32))(nkeys)
-        y = x + noise * math.sqrt(self.sparc.sigma2)
-        out = self.decode(y)
+        sigma = math.sqrt(self.sparc.sigma2)
+        if self._enc_in_kernel:
+            idx = self._true_indices(bits)
+            y = noise * sigma
+            res = self.sparc.decode(y, encode_idx=idx)
+            cw_hat, ok, bp_iters = self._bp_from_scores(res.scores)
+            user_hat = self._feedback_user_bits(y, cw_hat, ok,
+                                                enc_idx=idx)
+            out = dict(user_bits=user_hat, bp_ok=ok,
+                       amp_iters=res.iters, bp_iters=bp_iters,
+                       tau2_final=res.tau2_trace[-1])
+        else:
+            y = self.encode(bits) + noise * sigma
+            out = self.decode(y)
         bit_errors = jnp.sum(bits != out["user_bits"], axis=-1)
         return dict(
             bit_errors=jnp.sum(bit_errors),
@@ -324,11 +377,11 @@ class ConcatSweep:
             # construction (seeds derive from the config, not ebno)
             t_eff = m.sparc.cfg.amp_iters
             s1 = sw._jit(("s1", t_eff), m._stage_gen_amp_params)
-            bits, y, scores, iters = s1(tkeys, sq, sigma)
+            bits, y, scores, iters, idx = s1(tkeys, sq, sigma)
             s2 = sw._jit("s2", m._bp_from_scores)
             cw_hat, ok, _ = s2(scores)
             s3 = sw._jit("s3", m._stage_finish_params)
-            return s3(y, cw_hat, ok, bits, iters, sq)
+            return s3(y, cw_hat, ok, bits, iters, idx, sq)
         run_block_staged._prejitted = True   # campaign must not re-jit
 
     def model_for_point(self, ebno_db: float) -> object:

@@ -147,22 +147,41 @@ class SparcModel:
             lambda k: jax.random.bernoulli(k, 0.5, (self.cfg.k_bits,))
         )(mkeys).astype(jnp.int32)
         idx_true = bits_to_indices(bits, self.cfg.logM)
-        onehot = jax.nn.one_hot(idx_true, self.cfg.M, dtype=jnp.float32)
-        beta = (sq_npl[None, :, None] * onehot).reshape(batch, self.cfg.ML)
-        x = self.op.Ax(beta)
         noise = jax.vmap(
             lambda k: jax.random.normal(k, (self.cfg.n,), dtype=jnp.float32)
         )(nkeys)
-        y = x + noise * sigma
+        fused = self.cfg.amp_kernel.startswith("fused")
+        # In-kernel encode (ops/amp_kernel.py round 3): on the fused
+        # single-device path the kernel synthesizes x = A beta0 itself
+        # from idx_true, so the XLA side only generates bits + noise —
+        # the (B, L, M) one-hot materialization and the HBM-streaming
+        # encode FWHT (measured 24% of block wall at the headline
+        # shapes) disappear.  Same math, same RNG draws; x differs from
+        # the XLA encode only in bf16 rounding association.
+        in_kernel_enc = (fused and self.cfg.amp_encode_in_kernel
+                         and self.policy is None
+                         and self.op.mask is not None
+                         and self.cfg.L <= 4096 and self.cfg.M <= 1024)
+        if in_kernel_enc:
+            y = noise * sigma
+            enc_idx = idx_true
+        else:
+            onehot = jax.nn.one_hot(idx_true, self.cfg.M,
+                                    dtype=jnp.float32)
+            beta = (sq_npl[None, :, None] * onehot).reshape(
+                batch, self.cfg.ML)
+            y = self.op.Ax(beta) + noise * sigma
+            enc_idx = None
         res = amp_decode(
             y, self.op, sq_npl, self.cfg.P, self.cfg.n,
             T=self.cfg.amp_iters, tol=self.cfg.amp_tol,
             tau2_schedule=self.tau2_schedule,
             use_pallas_denoiser=self.use_pallas, policy=self.policy,
             residual_space=self.cfg.amp_residual_space,
-            fused=self.cfg.amp_kernel.startswith("fused"),
+            fused=fused,
             fused_split=True if self.cfg.amp_kernel == "fused_split" else None,
-            fused_form="slab" if self.cfg.amp_kernel == "fused_slab" else None)
+            fused_form="slab" if self.cfg.amp_kernel == "fused_slab" else None,
+            encode_idx=enc_idx)
         idx_hat = hard_indices(res.beta)
         bits_hat = indices_to_bits(idx_hat, self.cfg.logM)
         bit_errors = jnp.sum(bits != bits_hat, axis=-1)         # (B,)

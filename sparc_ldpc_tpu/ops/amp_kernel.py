@@ -110,9 +110,31 @@ def _mml(h, x):
         preferred_element_type=jnp.float32)
 
 
+
+def _enc_amp_parts(sqo):
+    """hi/lo split of the encode amplitudes (the ENCODE-path precision
+    scheme).  The in-loop transforms run plain bf16 for speed (decoder-
+    internal arithmetic, oracle-tracked), but the synthesized channel
+    codeword is a SPEC quantity (E||x||^2/n = P): a plain bf16 encode was
+    measured to shift codeword power systematically by +0.54% (+0.023 dB)
+    — bf16's 7-bit mantissa rounds the clustered per-section amplitudes
+    the same way — which at waterfall slope moved BER by ~6% outside the
+    oracle CI (docs/PERF.md round 3).  Because a one-hot input propagates
+    its amplitude EXACTLY through the transform (products with +-1 are
+    exact, sums of exacts round at f32), encoding hi = f32(bf16(sqo)) and
+    lo = sqo - hi in TWO passes of the fast bf16 transform and summing
+    bounds the amplitude error at ~2^-16 relative (power error < 1e-7)
+    for 2x the single-pass encode cost.  A plain-f32 MXU transform
+    measured ~10x; a value-form bf16x2 helper ~6x (Mosaic lane-slicing).
+    """
+    hi = sqo.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, sqo - hi
+
+
 def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
                      f_a: int, f_b: int, m_a: int, m_b: int,
-                     has_sched: bool, has_pin: bool, tol: float, *refs):
+                     has_sched: bool, has_pin: bool, has_enc: bool,
+                     tol: float, *refs):
     """Block-value dataflow variant: the whole iteration is expressed on an
     (f_a, m_a) grid of (f_b, m_b) VALUE tiles, never materializing a full
     intermediate (L, M) tile in VMEM.
@@ -140,8 +162,8 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
     from jax.experimental import pallas as pl
 
     ((y_ref, mask_ref, hfb_ref, hmb_ref, sqi_ref, sqo_ref), sched_ref,
-     pin_ref, (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
-        refs, 6, has_sched, has_pin)
+     pin_ref, enc_ref, (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
+        refs, 6, has_sched, has_pin, has_enc)
     L, M = b_scr.shape
 
     def rs(a):
@@ -171,12 +193,33 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
             rows.append(_mml(hfb_ref[:], wide))
         return _fwht_blocks(rows) if f_a > 1 else rows
 
-    b_scr[:] = jnp.zeros((L, M), jnp.float32)
     z_scr[:] = jnp.zeros((L, M), jnp.float32)
     trace_ref[0] = jnp.zeros(trace_ref.shape[1:], jnp.float32)
     # mask*y is loop-invariant: fold it into the aliased y block once
     # (mask_ref carries mask/n, so select on sign instead of multiplying).
     y_ref[0] = jnp.where(mask_ref[:] > 0.0, y_ref[0], 0.0)
+    if has_enc:
+        # In-kernel encode (round 3): y_ref arrived holding the MASKED
+        # channel noise; synthesize the codeword here and add it.  One
+        # extra transform (~1/T of kernel time) replaces the XLA encode
+        # path (4 GB one-hot + HBM-streaming FWHT per block — measured
+        # 24% of run_block wall at the headline shapes, docs/PERF.md).
+        # beta0' = sqo * one_hot(idx) is beta0*sqrt(n), so the z-update
+        # identity maskf*H(beta0') == mask o (A beta0) holds exactly.
+        # Two hi/lo passes of the fast transform (_enc_amp_parts): the
+        # codeword is a spec quantity.
+        for part in _enc_amp_parts(sqo_ref[:]):
+            for a in range(f_a):
+                ida = enc_ref[0, rs(a), :]                   # (f_b, 1)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (f_b, M), 1)
+                b_scr[rs(a), :] = jnp.where(cols == ida,
+                                            part[a * f_b:(a + 1) * f_b, :],
+                                            0.0)
+            w = fwht_slabs(lambda j: b_scr[:, cs(j)])
+            for a in range(f_a):
+                y_ref[0, rs(a), :] = (mask_ref[rs(a), :] * w[a]
+                                      + y_ref[0, rs(a), :])
+    b_scr[:] = jnp.zeros((L, M), jnp.float32)
 
     def trace_write(t, val):
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -256,25 +299,29 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
     beta_ref[0] = b_scr[:] * inv_sqrt_n
 
 
-def _unpack_refs(refs, n_in: int, has_sched: bool, has_pin: bool):
-    """Split the positional pallas refs into (inputs, sched, pin, rest).
+def _unpack_refs(refs, n_in: int, has_sched: bool, has_pin: bool,
+                 has_enc: bool = False):
+    """Split the positional pallas refs into (inputs, sched, pin, [enc,]
+    rest).
 
-    The optional SE tau2 schedule (SMEM (T,)) and pin tensor (VMEM
+    The optional SE tau2 schedule (SMEM (T,)), pin tensor (VMEM
     (1, L, M); sq*one_hot on pinned rows, zeros elsewhere — App. A.7
-    step 5) are appended to the input list only when present, so the
-    unused cases pay no HBM traffic.
+    step 5) and encode index tensor (VMEM (1, L, 1) int32; in-kernel
+    codeword synthesis) are appended to the input list only when
+    present, so the unused cases pay no HBM traffic.
     """
     refs = list(refs)
     ins, refs = refs[:n_in], refs[n_in:]
     sched = refs.pop(0) if has_sched else None
     pin = refs.pop(0) if has_pin else None
-    return ins, sched, pin, refs
+    enc = refs.pop(0) if has_enc else None
+    return ins, sched, pin, enc, refs
 
 
 def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
                       f_a: int, f_b: int, m_a: int, m_b: int,
                       vpu_outer: bool, has_sched: bool, has_pin: bool,
-                      tol: float, *refs):
+                      has_enc: bool, tol: float, *refs):
     """Split variant: the L-axis Hadamard factor is decomposed as
     H_L = H_{f_a} (x) H_{f_b}, so no O(L^2) constant is materialized
     (H_4096 bf16 is 32 MB and broke Mosaic compile; H_32 + H_128 are KBs).
@@ -295,9 +342,9 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
     from jax.experimental import pallas as pl
 
     ((y_ref, mask_ref, hfa_ref, hfb_ref, hmb_ref, sqi_ref, sqo_ref),
-     sched_ref, pin_ref,
+     sched_ref, pin_ref, enc_ref,
      (beta_ref, trace_ref, z_scr, b_scr, w_scr)) = _unpack_refs(
-        refs, 7, has_sched, has_pin)
+        refs, 7, has_sched, has_pin, has_enc)
     L, M = b_scr.shape
     mask = mask_ref[:]                  # carries mask/n (scale-free scheme)
     sqi = sqi_ref[:]                    # sq * inv_sqrt_n
@@ -341,6 +388,15 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
     # loop does one full-tile multiply per residual update instead of two
     # (mask carries mask/n, so select on sign instead of multiplying).
     y_ref[0] = jnp.where(mask > 0.0, y_ref[0], 0.0)
+    if has_enc:
+        # In-kernel encode (see _amp_kernel_slab): y_ref arrived holding
+        # the masked channel noise; add maskf * H(sqo * one_hot(idx)) in
+        # two hi/lo passes (_enc_amp_parts — the codeword is a spec
+        # quantity).
+        cols = jax.lax.broadcasted_iota(jnp.int32, (L, M), 1)
+        for part in _enc_amp_parts(sqo):
+            b0 = jnp.where(cols == enc_ref[0], part, 0.0)
+            y_ref[0] = mask * fwht_tile(b0) + y_ref[0]
 
     def trace_write(t, val):
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -416,7 +472,8 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
 
 
 def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
-                has_sched: bool, has_pin: bool, tol: float, *refs):
+                has_sched: bool, has_pin: bool, has_enc: bool,
+                tol: float, *refs):
     """One codeword's full AMP run; grid = (B,).
 
     Refs: y (1, L, M) N-space embedded observation; mask (L, M) row
@@ -429,8 +486,8 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
     state x sqrt(n), both f32.
     """
     ((y_ref, mask_ref, hl_ref, hm_ref, sqi_ref, sqo_ref), sched_ref,
-     pin_ref, (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
-        refs, 6, has_sched, has_pin)
+     pin_ref, enc_ref, (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
+        refs, 6, has_sched, has_pin, has_enc)
     L, M = b_scr.shape
     # NOTE: y_ref is aliased with beta_ref (input_output_aliases) to halve
     # the double-buffered block footprint; copy y into VMEM-scratch-free
@@ -446,6 +503,14 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
     # fold the loop-invariant mask*y into the aliased y block once
     # (mask carries mask/n, so select on sign instead of multiplying)
     y_ref[0] = jnp.where(mask > 0.0, y_ref[0], 0.0)
+    if has_enc:
+        # In-kernel encode (see _amp_kernel_slab); two hi/lo passes —
+        # the codeword is a spec quantity (_enc_amp_parts)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (L, M), 1)
+        for part in _enc_amp_parts(sqo):
+            b0 = jnp.where(cols == enc_ref[0], part, 0.0)
+            y_ref[0] = (mask * _mm(hl_ref[:], _mm(b0, hm_ref[:]))
+                        + y_ref[0])
 
     def trace_write(t, val):
         # Mosaic cannot store scalars to VMEM: write the tau2 trace as a
@@ -617,6 +682,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
               pin_val: jax.Array | None = None,         # (B, L, M)
               form: str | None = None,   # None=auto | "slab"|"split"|"mono"
               tol: float = 0.0,          # per-codeword early stop (split)
+              encode_idx: jax.Array | None = None,   # (B, L) int32
               ):
     """Run the fused kernel: returns (beta (B, L, M), tau2_trace (T, B)),
     plus iters (B,) as a third element when tol > 0.
@@ -630,6 +696,13 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
     program is one codeword, so the `lax.cond` skip saves real wall time,
     unlike the scan's mask.  tau2 schedules have no online estimate to
     compare, so the caller must pass tol=0 with a schedule.
+
+    encode_idx (B, L) int32 enables IN-KERNEL ENCODE: y_n must then hold
+    the channel noise embedded in N-space (mask support), and the kernel
+    synthesizes y = mask o (A beta0) + noise itself from the per-section
+    true indices — one extra in-kernel transform replaces the XLA
+    one-hot/encode-FWHT pipeline (measured 24% of run_block wall at the
+    headline shapes; docs/PERF.md round 3).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -648,6 +721,11 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         # pinned rows live in the kernel's beta*sqrt(n) scale
         extra_in.append(pin_val.astype(jnp.float32) * math.sqrt(n))
         extra_specs.append(pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
+                                        memory_space=pltpu.VMEM))
+    has_enc = encode_idx is not None
+    if has_enc:
+        extra_in.append(encode_idx.reshape(B, L, 1).astype(jnp.int32))
+        extra_specs.append(pl.BlockSpec((1, L, 1), lambda b: (b, 0, 0),
                                         memory_space=pltpu.VMEM))
     common = dict(
         out_shape=(jax.ShapeDtypeStruct((B, L, M), jnp.float32),
@@ -707,7 +785,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         m_a = M // m_b
         kernel = functools.partial(_amp_kernel_slab, T, n, float(P),
                                    inv_sqrt_n, f_a, f_b, m_a, m_b,
-                                   has_sched, has_pin, float(tol))
+                                   has_sched, has_pin, has_enc, float(tol))
         beta, trace = pl.pallas_call(
             kernel,
             in_specs=tile_specs + [
@@ -735,7 +813,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         hl = hadamard_factor(L, jnp.bfloat16)
         hm = hadamard_factor(M, jnp.bfloat16)
         kernel = functools.partial(_amp_kernel, T, n, float(P), inv_sqrt_n,
-                                   has_sched, has_pin, float(tol))
+                                   has_sched, has_pin, has_enc, float(tol))
         beta, trace = pl.pallas_call(
             kernel,
             in_specs=tile_specs + [
@@ -773,7 +851,7 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         hmb = hadamard_factor(m_b, jnp.bfloat16)
         kernel = functools.partial(_amp_kernel_split, T, n, float(P),
                                    inv_sqrt_n, f_a, f_b, m_a, m_b,
-                                   vpu_outer, has_sched, has_pin,
+                                   vpu_outer, has_sched, has_pin, has_enc,
                                    float(tol))
         beta, trace = pl.pallas_call(
             kernel,

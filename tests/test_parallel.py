@@ -136,10 +136,16 @@ def test_amp_tol_parity_across_routes():
     6 dB: decisively converged, so the plateau-crossing iteration is
     robust to the routes' differing f32 association; at marginal SNR a
     low-bit tau2 difference can legitimately shift one codeword's stop by
-    +-1 iteration (routes are parity-tested bitwise at tol=0 elsewhere)."""
+    +-1 iteration (routes are parity-tested bitwise at tol=0 elsewhere).
+
+    The exact legs pin amp_encode_in_kernel=False so every route decodes
+    the bitwise-identical XLA-encoded y; a final leg turns the in-kernel
+    encode back on and checks error counters are unchanged with iters_sum
+    within the documented +-1/codeword encode-rounding band."""
     T, B = 16, 16
     base = dict(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=T,
-                amp_tol=1e-4, transform_precision="bf16")
+                amp_tol=1e-4, transform_precision="bf16",
+                amp_encode_in_kernel=False)
     tkeys = rngu.trial_keys(rngu.base_key(5), B)
     keys = ("bit_errors", "frame_errors", "section_errors", "iters_sum")
 
@@ -165,6 +171,14 @@ def test_amp_tol_parity_across_routes():
         with jax.sharding.set_mesh(mesh):
             got = run(fused_cfg, policy=pol)
         assert got == ref, (shards, got, ref)
+    # in-kernel encode: identical counters, stop within the encode-
+    # rounding band (x differs from the XLA encode at bf16 level, so a
+    # codeword's plateau crossing may shift by one iteration)
+    got = run(SparcConfig(**{**base, "amp_encode_in_kernel": True},
+                          amp_kernel="fused"))
+    for k in ("bit_errors", "frame_errors", "section_errors"):
+        assert got[k] == ref[k], (k, got, ref)
+    assert abs(got["iters_sum"] - ref["iters_sum"]) <= B, (got, ref)
 
 
 def test_campaign_runs_and_resumes(tmp_path):
