@@ -16,11 +16,12 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..config import ConcatConfig
-from ..design.ldpc_codes import LdpcCode, adjacency, build_code
+from ..design.ldpc_codes import (LdpcCode, adjacency, build_code,
+                                 qc_structure)
 from ..design.power import power_allocation
 from ..utils.bits import np_bits_to_indices, np_indices_to_bits
 from . import sparc as osparc
-from .ldpc import bp_decode
+from .ldpc import bp_decode, bp_decode_layered
 
 
 def derive_partition(L: int, logM: int, ldpc_n: int, f_prot: float):
@@ -84,15 +85,29 @@ class OracleConcat:
             a1 = logp[:, bit1]
             llrs[:, b] = (_lse(a0) - _lse(a1))
         llr_flat = llrs.reshape(-1).reshape(self.num_cw, self.code.n)
-        adj = adjacency(self.code.H)
+        lc = self.cfg.ldpc
+        # mirror the shipped decode schedule: row-layered MPA when the
+        # preset configures it (the float64 twin of ops/bp_qc.py layered;
+        # round-3 VERDICT missing #1), flooding otherwise
+        layered = lc.schedule == "layered"
+        if layered:
+            qc = qc_structure(lc)
+            assert qc is not None, "layered schedule requires a QC code"
+        else:
+            adj = adjacency(self.code.H)
         prot_bits = np.empty((self.num_cw, self.code.n), dtype=np.uint8)
         ok = np.zeros(self.num_cw, dtype=bool)
         for c in range(self.num_cw):
-            hard, _, _ = bp_decode(llr_flat[c], self.code,
-                                   iters=self.cfg.ldpc.bp_iters,
-                                   method=self.cfg.ldpc.decoder,
-                                   alpha=self.cfg.ldpc.alpha,
-                                   clip=self.cfg.ldpc.llr_clip, adj=adj)
+            if layered:
+                hard, _, _ = bp_decode_layered(
+                    llr_flat[c], self.code, qc[0], qc[1],
+                    iters=lc.bp_iters, method=lc.decoder, alpha=lc.alpha,
+                    beta=lc.beta, clip=lc.llr_clip)
+            else:
+                hard, _, _ = bp_decode(llr_flat[c], self.code,
+                                       iters=lc.bp_iters,
+                                       method=lc.decoder, alpha=lc.alpha,
+                                       clip=lc.llr_clip, adj=adj)
             ok[c] = not np.any(self.code.syndrome(hard))
             prot_bits[c] = hard if ok[c] else (llr_flat[c] < 0).astype(np.uint8)
         # decision feedback: pin sections whose bits all come from ok cws

@@ -2,8 +2,9 @@
 
 The flooding schedule must be message-identical to the padded-dense edge
 engine on the same graph (same update order, same rules); layered is a
-different schedule, so it is anchored by fixed-point + decode-success tests
-and a convergence-speed comparison instead.
+different schedule, anchored message-exactly (x64) against the independent
+float64 NumPy twin oracle.ldpc.bp_decode_layered, plus fixed-point +
+decode-success tests and a convergence-speed comparison.
 """
 
 import os
@@ -72,6 +73,77 @@ def test_layered_decodes_and_is_faster(method, rng):
     np.testing.assert_array_equal(np.asarray(ly.hard), cw)
     assert int(np.sum(np.asarray(ly.iters))) < int(
         np.sum(np.asarray(fl.iters)))
+
+
+@pytest.mark.parametrize("method", ["minsum", "oms", "spa"])
+def test_layered_message_parity_vs_oracle_twin(method, rng):
+    """Row-layered QC BP == the independent float64 NumPy twin
+    (oracle.ldpc.bp_decode_layered): same decisions, ok flags, early-stop
+    iteration counts, and message-exact posteriors — the message-level
+    anchor for the schedule the shipped concat presets decode with
+    (round-3 VERDICT missing #1).  The twin routes messages with np.roll
+    permutations, the TPU engine with static Z-gather tensors; layer
+    ordering bugs (stale totals, wrong-direction shifts, missed zero-block
+    clip-through) would break iteration counts or posteriors here."""
+    import jax
+    from sparc_ldpc_tpu.oracle.ldpc import bp_decode_layered
+
+    # noisy-but-decodable + some undecodable frames: both early-stop and
+    # budget-exhaustion paths are compared.  The engine runs in x64 so the
+    # comparison is MESSAGE-exact (~1e-12): at f32, min-sum's discrete
+    # min selections flip on ulp-level ties and the sequential layered
+    # totals then diverge by (min2 - min1) while still reaching identical
+    # decisions — decision-level f32 parity is covered by the statistical
+    # concat artifact (scripts/ber_parity.py).
+    code, cw, llr = _noisy_llrs(LCFG, rng, B=8, sigma=0.75)
+    shifts, Z = qc_structure(LCFG)
+    llr_np = np.asarray(llr, dtype=np.float64)
+    with jax.enable_x64(True):
+        res = bp_decode_qc(jnp.asarray(llr_np), QcBpTables.build(shifts, Z),
+                           iters=LCFG.bp_iters, method=method,
+                           schedule="layered")
+        for b in range(llr.shape[0]):
+            hard, tot, it = bp_decode_layered(llr_np[b], code, shifts, Z,
+                                              iters=LCFG.bp_iters,
+                                              method=method)
+            np.testing.assert_array_equal(np.asarray(res.hard[b]), hard,
+                                          err_msg=f"frame {b}")
+            assert bool(res.ok[b]) == (not np.any(code.syndrome(hard)))
+            assert int(res.iters[b]) == it, (b, int(res.iters[b]), it)
+            np.testing.assert_allclose(np.asarray(res.posterior[b]), tot,
+                                       rtol=1e-10, atol=1e-10)
+
+
+def test_layered_oracle_twin_zero_blocks(rng):
+    """The twin handles zero blocks (-1 shifts) identically to the engine:
+    a zero block's identity round trip must still clip the totals
+    through (the engine's documented clip-through semantics)."""
+    from sparc_ldpc_tpu.oracle.ldpc import bp_decode_layered
+
+    import jax
+
+    shifts, Z = qc_structure(LCFG)
+    shifts = shifts.copy()
+    shifts[1, 4] = -1
+    shifts[2, 9] = -1
+    H = qc_base_H(shifts, Z)
+    from sparc_ldpc_tpu.design.ldpc_codes import systematize
+    code = systematize(H)
+    u = rng.integers(0, 2, (4, code.k)).astype(np.uint8)
+    cw = code.encode(u)
+    y = (1.0 - 2.0 * cw) + 0.7 * rng.standard_normal((4, code.n))
+    llr = 2.0 * y / 0.49
+    with jax.enable_x64(True):
+        res = bp_decode_qc(jnp.asarray(llr, dtype=jnp.float64),
+                           QcBpTables.build(shifts, Z), iters=48,
+                           schedule="layered")
+        for b in range(4):
+            hard, tot, it = bp_decode_layered(llr[b], code, shifts, Z,
+                                              iters=48)
+            np.testing.assert_array_equal(np.asarray(res.hard[b]), hard)
+            assert int(res.iters[b]) == it
+            np.testing.assert_allclose(np.asarray(res.posterior[b]), tot,
+                                       rtol=1e-10, atol=1e-10)
 
 
 def test_layered_noiseless_fixed_point(rng):
