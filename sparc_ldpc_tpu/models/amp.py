@@ -112,15 +112,18 @@ def amp_decode(
             else:
                 beta3, trace = out
         else:
-            assert encode_idx is None, (
-                "in-kernel encode is a single-device/pure-jit-GSPMD "
-                "optimization; sharded-policy callers encode in XLA")
+            # pure-DP policies (section_shards == 1) compose with in-kernel
+            # encode: amp_fused_sharded slices the index tensor over the
+            # data axis.  Only SECTION-sharded meshes must encode in XLA
+            # (a codeword's one-hot spans shards there).
+            assert encode_idx is None or policy.section_shards == 1, (
+                "in-kernel encode: section-sharded policies encode in XLA")
             from ..parallel.amp_sharded import amp_fused_sharded
             beta3, trace, iters = amp_fused_sharded(
                 y_n, mask2d, sq_npl, P, n, T, policy,
                 tau2_schedule=tau2_schedule, pin_val=pin_val,
                 interpret=fused_interpret, fused_split=fused_split,
-                tol=k_tol)
+                tol=k_tol, encode_idx=encode_idx)
         post = beta3 / sq_npl[None, :, None]
         scores = jnp.log(jnp.maximum(post, jnp.finfo(y.dtype).tiny))
         return AmpResult(beta=beta3, posteriors=post, scores=scores,

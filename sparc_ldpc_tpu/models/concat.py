@@ -95,20 +95,15 @@ class ConcatModel:
 
         sq_npl overrides the power-allocation constant (shared-compile
         sweeps pass it as a traced argument — see ConcatSweep)."""
-        B = user_bits.shape[0]
-        logM = self.cfg.sparc.logM
-        nu = self.Lu * logM
-        unprot = user_bits[:, :nu]
-        msgs = user_bits[:, nu:].reshape(B * self.num_cw, self.ldpc.k)
-        cw = self.ldpc.encode(msgs).reshape(B, self.num_cw * self.ldpc.n)
-        all_bits = jnp.concatenate([unprot, cw], axis=1)
-        idx = bits_to_indices(all_bits, logM)
+        idx = self._true_indices(user_bits)
         return self.sparc.op.Ax(self.sparc.build_beta(idx, sq_npl))
 
     def _true_indices(self, user_bits: jax.Array,
                       ) -> jax.Array:
-        """(B, k_user) -> (B, L) per-section true indices (encode's index
-        chain without the transform — the in-kernel-encode input)."""
+        """(B, k_user) -> (B, L) per-section true indices: THE single copy
+        of the bit-assembly chain (unprot split -> LDPC encode -> concat ->
+        bits_to_indices) shared by encode() and the in-kernel-encode trial
+        paths, so the two framings cannot diverge."""
         B = user_bits.shape[0]
         logM = self.cfg.sparc.logM
         nu = self.Lu * logM
@@ -128,10 +123,13 @@ class ConcatModel:
         signal again in the pinned feedback pass (same true indices =>
         identical y, one extra in-kernel transform).  The public
         decode(y) API is untouched — it receives a real observation.
-        Mirrors SparcModel.run_block_params (docs/PERF.md round 3)."""
+        Mirrors SparcModel.run_block_params (docs/PERF.md round 3);
+        eligible under pure-DP mesh policies too (round-3 VERDICT
+        missing #3), excluded only when sections are sharded."""
         c = self.cfg.sparc
         return (c.amp_kernel.startswith("fused") and c.amp_encode_in_kernel
-                and self.sparc.policy is None
+                and (self.sparc.policy is None
+                     or self.sparc.policy.section_shards == 1)
                 and self.sparc.op.mask is not None
                 and c.L <= 4096 and c.M <= 1024)
 

@@ -55,6 +55,14 @@ class ShardingPolicy:
     data_axis: str = "data"
     section_axis: Optional[str] = "section"
 
+    @property
+    def section_shards(self) -> int:
+        """Section-axis size (1 == pure DP, the in-kernel-encode-eligible
+        case: each codeword's (L, M) state lives whole on one device)."""
+        if self.section_axis is None:
+            return 1
+        return int(self.mesh.shape[self.section_axis])
+
     # ---- input/output shardings (for device_put / jit in_shardings) ----
 
     def batch1(self) -> NamedSharding:

@@ -181,6 +181,84 @@ def test_amp_tol_parity_across_routes():
     assert abs(got["iters_sum"] - ref["iters_sum"]) <= B, (got, ref)
 
 
+def test_fused_dp_in_kernel_encode_matches_single_device():
+    """In-kernel encode composes with pure-DP mesh policies (round-3
+    VERDICT missing #3): an 8-way DP shard_map around the mega-kernel
+    with per-device slices of the true-index tensor reproduces the
+    single-device in-kernel-encode counters bitwise on the same key tree
+    (same kernel, same per-codeword inputs).  Also checks the eligibility
+    gate actually engaged (policy.section_shards == 1)."""
+    cfg = SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=12,
+                      amp_tol=1e-4, amp_kernel="fused",
+                      transform_precision="bf16")   # encode_in_kernel=True
+    model = SparcModel.build(cfg, ebno_db=5.0)
+    ref = _counters(model)
+    mesh = make_mesh(section_shards=1)
+    pol = ShardingPolicy(mesh, section_axis=None)
+    assert pol.section_shards == 1
+    model_dp = SparcModel.build(cfg, ebno_db=5.0, policy=pol)
+    with jax.sharding.set_mesh(mesh):
+        got = _counters(model_dp, policy=pol)
+    assert got == ref
+    # section-sharded stays on the XLA encode (the one exclusion) and
+    # still matches: counters are encode-route-invariant at this point
+    mesh2 = make_mesh(section_shards=2)
+    pol2 = ShardingPolicy(mesh2)
+    assert pol2.section_shards == 2
+    model_sp = SparcModel.build(cfg, ebno_db=5.0, policy=pol2)
+    with jax.sharding.set_mesh(mesh2):
+        got2 = _counters(model_sp, policy=pol2)
+    assert got2 == ref
+
+
+def test_concat_in_kernel_encode_parity():
+    """ADVICE r3: the ConcatModel in-kernel-encode branches (run_block,
+    _stage_gen_amp_params, enc_idx re-synthesis in the pinned feedback
+    pass) were only parity-tested on the plain SPARC route.  At a
+    decisively-converged point: (a) in-kernel encode vs XLA encode give
+    identical error/bp counters; (b) run_block == run_block_staged inside
+    the in-kernel branch (same arithmetic, bitwise counters); (c) the
+    pure-DP mesh route equals the single-device route."""
+    from sparc_ldpc_tpu.config import ConcatConfig, LdpcConfig
+    from sparc_ldpc_tpu.models.concat import ConcatModel
+
+    base = ConcatConfig(
+        sparc=SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard",
+                          amp_iters=10, amp_tol=0.0, amp_kernel="fused",
+                          transform_precision="bf16"),
+        ldpc=LdpcConfig(kind="array", z=13, rows_b=3, cols_b=12,
+                        bp_iters=16, engine="qc", schedule="layered"),
+        f_prot=0.5, feedback_iters=3)
+    tk = rngu.trial_keys(rngu.base_key(9), 8)
+    keys = ("bit_errors", "frame_errors", "bp_ok", "trials")
+
+    m_in = ConcatModel.build(base, ebno_db=6.0)
+    assert m_in._enc_in_kernel
+    got_in = {k: int(v) for k, v in jax.jit(m_in.run_block)(tk).items()
+              if k in keys}
+    staged = {k: int(v) for k, v in m_in.run_block_staged(tk).items()
+              if k in keys}
+    assert staged == got_in
+
+    cfg_off = base.replace(sparc=base.sparc.replace(
+        amp_encode_in_kernel=False))
+    m_off = ConcatModel.build(cfg_off, ebno_db=6.0)
+    assert not m_off._enc_in_kernel
+    got_off = {k: int(v) for k, v in jax.jit(m_off.run_block)(tk).items()
+               if k in keys}
+    assert got_off == got_in   # decisive point: bf16 encode-rounding inert
+
+    mesh = make_mesh(section_shards=1)
+    pol = ShardingPolicy(mesh, section_axis=None)
+    m_dp = ConcatModel.build(base, ebno_db=6.0, policy=pol)
+    assert m_dp._enc_in_kernel
+    with jax.sharding.set_mesh(mesh):
+        tk_sh = jax.device_put(tk, pol.batch1())
+        got_dp = {k: int(v) for k, v in jax.jit(m_dp.run_block)(tk_sh).items()
+                  if k in keys}
+    assert got_dp == got_in
+
+
 def test_campaign_runs_and_resumes(tmp_path):
     """Restart reproduces identical final counters from the journal
     (SURVEY.md §5 fault-injection design)."""
