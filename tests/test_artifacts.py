@@ -38,11 +38,16 @@ def _points(fname):
 
 
 def _accepted_hashes(preset):
-    """The shipped preset hash, plus its CLI --fused/--auto-iters variants
-    (cli.cmd_campaign applies exactly these replaces): the kernel route
-    and iteration-budget flags change the code path, not the code/math —
-    counters are route-parity-tested — so artifacts produced through the
-    documented TPU flags still describe the shipped preset."""
+    """The shipped preset hash, plus its CLI --fused/--auto-iters/
+    --amp-iters 64 variants (cli.cmd_campaign applies exactly these
+    replaces).  --fused changes only the kernel route (counters are
+    route-parity-tested; it also pins amp_tol=0, i.e. fixed-T — the CLI
+    prints that).  --auto-iters/--amp-iters DO change the iteration
+    budget: raising the cap to 64 lets SE spend ~50 iterations at
+    mid-waterfall points where the shipped cap of 32 under-iterates, so
+    such artifacts are deliberate, documented cap-override variants of
+    the preset (each sweep's kind="note" record states the budget), not
+    bit-identical reproductions of it (ADVICE r3)."""
     from sparc_ldpc_tpu.config import ConcatConfig
 
     cfg = PRESETS[preset]

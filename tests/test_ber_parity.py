@@ -41,6 +41,12 @@ def test_ber_ci_overlap(preset, ebno, oracle, tpu):
     if oracle is None or tpu is None:
         pytest.skip("artifact leg not built yet (scripts/ber_parity.py)")
     assert tpu["trials"] >= 10_000
+    # oracle-leg trials floor (round-3 VERDICT weak #1/#6): a regenerated
+    # artifact must not silently thin out below the per-preset floor the
+    # sufficiency arithmetic was done for (ber_parity.ORACLE_TRIALS_FLOOR)
+    assert oracle["trials"] >= bp.ORACLE_TRIALS_FLOOR[preset], (
+        f"{preset}: oracle leg has {oracle['trials']} trials < floor "
+        f"{bp.ORACLE_TRIALS_FLOOR[preset]}")
     gap = abs(oracle["ber"] - tpu["ber"])
     # joint 95% CI with a 1%-relative floor — f32-vs-float64 shifts the
     # metastable stall-plateau BER ~0.7% relative (measured identical for
