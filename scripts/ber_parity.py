@@ -442,8 +442,9 @@ def run_plot(presets):
         ax.set_yscale("log")
         ax.set_xlabel("Eb/N0 (dB)")
         ax.set_ylabel("BER")
-        ax.set_title(f"BER parity — {preset} "
-                     f"(>=10^4 trials/point, 95% CIs)")
+        flo = ORACLE_TRIALS_FLOOR.get(preset)
+        ax.set_title(f"BER parity — {preset} (>=10^4 TPU / "
+                     f">={flo} oracle trials/point, 95% CIs)")
         ax.grid(True, which="both", alpha=0.3)
         ax.legend()
         fig.tight_layout()
