@@ -73,10 +73,18 @@ def main():
     # from T=20 through T=32 (163530 vs 163517 of 1048576 — noise-level;
     # docs/PERF.md round-2 table), so the shorter budget decodes
     # identically.  T=32 stays the cap.
+    # amp_noise_in_kernel (round 4): the kernel also draws the masked
+    # AWGN itself (pltpu PRNG + both-output Box-Muller), removing the
+    # last (B, L, M) HBM materialization of the trial path — the XLA
+    # noise draw + N-space embed measured 14.7% of block wall, of which
+    # ~4.4% survives as net gain after the in-kernel transcendental cost
+    # (294.2 -> 281.8 ms/block A/B, scripts/noise_probe.py --ab).
+    # Distribution-identical, different stream: BER A/B within joint 95%
+    # CIs at 2.0 and 3.0 dB over 2x20480 trials (docs/PERF.md round 4).
     cfg = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                       op_kind="hadamard", amp_iters=T, amp_tol=0.0,
                       transform_precision="bf16", amp_kernel="fused_split",
-                      amp_iters_auto=True)
+                      amp_iters_auto=True, amp_noise_in_kernel=True)
 
     log(f"devices: {jax.devices()}")
     model = SparcModel.build(cfg, ebno_db=EBNO)

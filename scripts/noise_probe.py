@@ -22,14 +22,79 @@ from __future__ import annotations
 import sys
 import time
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 import jax
 import jax.numpy as jnp
+
+
+def run_ab(B: int = 2048, blocks: int = 10, ebno: float = 2.0):
+    """Step 2: A/B the productized kernel path (amp_noise_in_kernel) at
+    the headline config — median block wall both routes, plus BER over
+    `blocks` x B trials with frame-clustered 95% CIs (the two routes draw
+    DIFFERENT noise streams, so decisions compare statistically)."""
+    import math
+
+    from sparc_ldpc_tpu.config import SparcConfig
+    from sparc_ldpc_tpu.models.sparc import SparcModel
+    from sparc_ldpc_tpu.utils import rng as rngu
+
+    stats = {}
+    for flag in (False, True):
+        cfg = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
+                          op_kind="hadamard", amp_iters=32, amp_tol=0.0,
+                          transform_precision="bf16",
+                          amp_kernel="fused_split", amp_iters_auto=True,
+                          amp_noise_in_kernel=flag)
+        model = SparcModel.build(cfg, ebno_db=ebno)
+        print(f"flag={flag} ebno={ebno} T={model.cfg.amp_iters}",
+              flush=True)
+        run = jax.jit(model.run_block)
+        t0 = time.perf_counter()
+        _ = int(run(rngu.trial_keys(rngu.base_key(999), B))["bit_errors"])
+        print(f"flag={flag}: compile+first {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        be = fe = tr = 0
+        be2 = 0.0
+        ts = []
+        for r in range(1, blocks + 1):
+            keys = rngu.trial_keys(rngu.base_key(r), B)
+            t0 = time.perf_counter()
+            out = run(keys)
+            be_r = int(out["bit_errors"])
+            ts.append(time.perf_counter() - t0)
+            be += be_r
+            be2 += float(out["bit_errors_sq"])
+            fe += int(out["frame_errors"])
+            tr += B
+        ts.sort()
+        dt = ts[len(ts) // 2]
+        k = cfg.k_bits
+        ber = be / (tr * k)
+        mean_be = be / tr
+        var_be = max(be2 / tr - mean_be ** 2, 0.0)
+        ci = 1.96 * math.sqrt(var_be / tr) / k
+        stats[flag] = (dt, ber, ci, fe / tr)
+        print(f"flag={flag}: {dt*1e3:.1f} ms/block "
+              f"({B*k/dt/1e6:.1f} Mbit/s)  BER {ber:.5e} +- {ci:.2e} "
+              f"FER {fe/tr:.4f}  ({tr} trials)", flush=True)
+    (dt0, ber0, ci0, fer0), (dt1, ber1, ci1, fer1) = stats[False], stats[True]
+    gap = abs(ber0 - ber1)
+    bound = math.hypot(ci0, ci1)
+    print(f"speedup: {dt0/dt1:.3f}x  BER |gap| {gap:.2e} vs joint95 "
+          f"{bound:.2e} -> {'OK' if gap <= bound else 'APART'}", flush=True)
 
 
 def main():
     from sparc_ldpc_tpu.config import SparcConfig
     from sparc_ldpc_tpu.models.sparc import SparcModel
     from sparc_ldpc_tpu.utils import rng as rngu
+
+    if "--ab" in sys.argv:
+        i = sys.argv.index("--ab")
+        ebno = float(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 2.0
+        run_ab(ebno=ebno)
+        return
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     cfg = SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",

@@ -108,6 +108,20 @@ class SparcConfig:
     # association.  Set False to force the XLA encode (e.g. for
     # bitwise-identical cross-route comparisons at tol > 0).
     amp_encode_in_kernel: bool = True
+    # In-kernel noise (round 4): with in-kernel encode on the split
+    # kernel, the one remaining (B, L, M) HBM materialization of the
+    # trial path is the embedded channel noise (measured 14.7% of
+    # headline block wall — scripts/noise_probe.py).  When True, the
+    # kernel draws the masked AWGN itself (pltpu per-core PRNG seeded
+    # per codeword from the trial key + Box-Muller;
+    # ops/amp_kernel.boxmuller_f32).  Distribution-identical to the
+    # jax.random stream but DIFFERENT draws, so cross-route counters are
+    # only statistically (not bitwise) comparable — hence opt-in, used
+    # by bench.py and validated by a TPU BER A/B (docs/PERF.md round 4).
+    # Requires amp_encode_in_kernel + the split form + a real TPU (the
+    # Pallas interpreter has no PRNG lowering; CPU backends fall back to
+    # the XLA noise path).
+    amp_noise_in_kernel: bool = False
     # SE-derived per-point iteration budget (SURVEY.md §7 hard-part 4,
     # round-1 VERDICT item 8): when True, SparcModel.build shrinks
     # amp_iters to design.se.se_converged_iters(tol=amp_auto_tol,

@@ -64,8 +64,16 @@ def amp_decode(
     fused_form: Optional[str] = None,     # "slab" = block-value dataflow kernel
     encode_idx: Optional[jax.Array] = None,  # (B, L) int32: y IS the noise,
                                              # kernel synthesizes the codeword
+    noise_seed: Optional[jax.Array] = None,  # (B, 2) uint32: kernel draws
+                                             # the noise too; y is unused
+    noise_sigma: Optional[jax.Array] = None,
 ) -> AmpResult:
-    B = y.shape[0]
+    if noise_seed is not None:
+        assert encode_idx is not None, \
+            "in-kernel noise requires in-kernel encode"
+        B = noise_seed.shape[0]
+    else:
+        B = y.shape[0]
     L = sq_npl.shape[0]
     ML = op.ML
     M = ML // L
@@ -89,7 +97,13 @@ def amp_decode(
         # runs) fall back to interpret mode so fused configs stay runnable.
         if jax.default_backend() == "cpu":
             fused_interpret = True
-        y_n = op.embed_y(y).reshape(B, L, M)
+            assert noise_seed is None, \
+                "in-kernel noise needs a real TPU (no interpreter PRNG); " \
+                "callers gate on the backend (SparcModel.run_block_params)"
+        if noise_seed is None:
+            y_n = op.embed_y(y).reshape(B, L, M)
+        else:
+            y_n = None          # the kernel synthesizes the masked AWGN
         mask2d = op.mask.reshape(L, M)
         pin_val = None
         if pinned_mask is not None:
@@ -106,7 +120,9 @@ def amp_decode(
                             split=fused_split, form=fused_form,
                             tau2_schedule=tau2_schedule,
                             pin_val=pin_val, tol=k_tol,
-                            encode_idx=encode_idx)
+                            encode_idx=encode_idx,
+                            noise_seed=noise_seed,
+                            noise_sigma=noise_sigma)
             if k_tol:
                 beta3, trace, iters = out
             else:
@@ -123,14 +139,15 @@ def amp_decode(
                 y_n, mask2d, sq_npl, P, n, T, policy,
                 tau2_schedule=tau2_schedule, pin_val=pin_val,
                 interpret=fused_interpret, fused_split=fused_split,
-                tol=k_tol, encode_idx=encode_idx)
+                tol=k_tol, encode_idx=encode_idx,
+                noise_seed=noise_seed, noise_sigma=noise_sigma)
         post = beta3 / sq_npl[None, :, None]
-        scores = jnp.log(jnp.maximum(post, jnp.finfo(y.dtype).tiny))
+        scores = jnp.log(jnp.maximum(post, jnp.finfo(post.dtype).tiny))
         return AmpResult(beta=beta3, posteriors=post, scores=scores,
                          tau2_trace=trace, iters=iters)
-    assert encode_idx is None, (
-        "encode_idx requires the fused kernel path (op.mask present, "
-        "L <= 4096); XLA-path callers encode outside amp_decode")
+    assert encode_idx is None and noise_seed is None, (
+        "encode_idx/noise_seed require the fused kernel path (op.mask "
+        "present, L <= 4096); XLA-path callers encode outside amp_decode")
     dn = denoise_pallas if use_pallas_denoiser else denoise
     c_bml = policy.constrain_bml if policy is not None else (lambda x: x)
     c_blm = policy.constrain_blm if policy is not None else (lambda x: x)

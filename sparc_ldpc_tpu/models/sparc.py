@@ -147,9 +147,6 @@ class SparcModel:
             lambda k: jax.random.bernoulli(k, 0.5, (self.cfg.k_bits,))
         )(mkeys).astype(jnp.int32)
         idx_true = bits_to_indices(bits, self.cfg.logM)
-        noise = jax.vmap(
-            lambda k: jax.random.normal(k, (self.cfg.n,), dtype=jnp.float32)
-        )(nkeys)
         fused = self.cfg.amp_kernel.startswith("fused")
         # In-kernel encode (ops/amp_kernel.py round 3): on the fused
         # single-device AND pure-DP-sharded paths the kernel synthesizes
@@ -166,10 +163,38 @@ class SparcModel:
                               or self.policy.section_shards == 1)
                          and self.op.mask is not None
                          and self.cfg.L <= 4096 and self.cfg.M <= 1024)
-        if in_kernel_enc:
+        # In-kernel noise (round 4, amp_noise_in_kernel): the kernel draws
+        # the masked AWGN itself from per-codeword pltpu PRNG seeds, so
+        # the XLA side generates NOTHING per trial beyond the message bits
+        # — the (B, n) normal draw and the (B, L, M) N-space embed (14.7%
+        # of headline block wall, scripts/noise_probe.py) disappear.
+        # Split form only; needs a real TPU (no interpreter PRNG).
+        # Distribution-identical but a different stream than jax.random —
+        # decisions are statistically, not bitwise, comparable across the
+        # two noise routes (TPU BER A/B in docs/PERF.md round 4).
+        in_kernel_noise = (
+            in_kernel_enc and self.cfg.amp_noise_in_kernel
+            and (self.cfg.amp_kernel == "fused_split"
+                 or (self.cfg.amp_kernel == "fused" and self.cfg.L > 1024))
+            and jax.default_backend() != "cpu")
+        noise_kw = {}
+        if in_kernel_noise:
+            # same per-trial fold position as the XLA noise key (1); the
+            # two threefry words become the pltpu PRNG seed
+            seeds = jax.vmap(jax.random.key_data)(nkeys).reshape(batch, 2)
+            y = None
+            enc_idx = idx_true
+            noise_kw = dict(noise_seed=seeds, noise_sigma=sigma)
+        elif in_kernel_enc:
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, (self.cfg.n,),
+                                            dtype=jnp.float32))(nkeys)
             y = noise * sigma
             enc_idx = idx_true
         else:
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, (self.cfg.n,),
+                                            dtype=jnp.float32))(nkeys)
             onehot = jax.nn.one_hot(idx_true, self.cfg.M,
                                     dtype=jnp.float32)
             beta = (sq_npl[None, :, None] * onehot).reshape(
@@ -185,7 +210,7 @@ class SparcModel:
             fused=fused,
             fused_split=True if self.cfg.amp_kernel == "fused_split" else None,
             fused_form="slab" if self.cfg.amp_kernel == "fused_slab" else None,
-            encode_idx=enc_idx)
+            encode_idx=enc_idx, **noise_kw)
         idx_hat = hard_indices(res.beta)
         bits_hat = indices_to_bits(idx_hat, self.cfg.logM)
         bit_errors = jnp.sum(bits != bits_hat, axis=-1)         # (B,)

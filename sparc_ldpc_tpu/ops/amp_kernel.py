@@ -162,7 +162,7 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
     from jax.experimental import pallas as pl
 
     ((y_ref, mask_ref, hfb_ref, hmb_ref, sqi_ref, sqo_ref), sched_ref,
-     pin_ref, enc_ref, (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
+     pin_ref, enc_ref, _, (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
         refs, 6, has_sched, has_pin, has_enc)
     L, M = b_scr.shape
 
@@ -300,28 +300,69 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
 
 
 def _unpack_refs(refs, n_in: int, has_sched: bool, has_pin: bool,
-                 has_enc: bool = False):
-    """Split the positional pallas refs into (inputs, sched, pin, [enc,]
-    rest).
+                 has_enc: bool = False, has_noise: bool = False):
+    """Split the positional pallas refs into (inputs, sched, pin, [enc,
+    noise,] rest).
 
     The optional SE tau2 schedule (SMEM (T,)), pin tensor (VMEM
     (1, L, M); sq*one_hot on pinned rows, zeros elsewhere — App. A.7
-    step 5) and encode index tensor (VMEM (1, L, 1) int32; in-kernel
-    codeword synthesis) are appended to the input list only when
-    present, so the unused cases pay no HBM traffic.
+    step 5), encode index tensor (VMEM (1, L, 1) int32; in-kernel
+    codeword synthesis) and noise refs (SMEM (1, 2) uint32 per-codeword
+    PRNG seed + SMEM (1, 1) f32 sigma; in-kernel channel synthesis) are
+    appended to the input list only when present, so the unused cases
+    pay no HBM traffic.
     """
     refs = list(refs)
     ins, refs = refs[:n_in], refs[n_in:]
     sched = refs.pop(0) if has_sched else None
     pin = refs.pop(0) if has_pin else None
     enc = refs.pop(0) if has_enc else None
-    return ins, sched, pin, enc, refs
+    noise = (refs.pop(0), refs.pop(0)) if has_noise else None
+    return ins, sched, pin, enc, noise, refs
+
+
+def boxmuller_f32(bits1, bits2):
+    """Two uint32 tiles -> one standard-normal f32 tile (Box-Muller).
+
+    24-bit uniforms: u1 in (0, 1) (offset by 2^-25 so log never sees 0),
+    u2 in [0, 1).  z = sqrt(-2 ln u1) * cos(2 pi u2).  The u1 floor
+    truncates the tail at sqrt(-2 ln 2^-25) ~= 5.9 sigma
+    (P ~= 3.6e-9 per draw — ~0.07 expected truncations per headline
+    block of 1.9e7 draws, orders below every measured BER).  Pure jnp so
+    the math is unit-testable on CPU (tests/test_ops.py); the kernel
+    feeds it pltpu.prng_random_bits tiles.
+    """
+    # Mosaic has no uint32->f32 cast; the 24-bit values fit int32, so a
+    # same-width bitcast then int32->f32 is exact (and identical on CPU).
+    def to_f32(bits):
+        return jax.lax.bitcast_convert_type(
+            bits >> 8, jnp.int32).astype(jnp.float32)
+
+    u1 = (to_f32(bits1) * (2.0 ** -24)) + (2.0 ** -25)
+    u2 = to_f32(bits2) * (2.0 ** -24)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos((2.0 * math.pi) * u2)
+
+
+def boxmuller_pair_f32(bits1, bits2):
+    """Both Box-Muller outputs: two iid standard-normal tiles from one
+    (u1, u2) pair — halves the log/sqrt/PRNG work per normal vs calling
+    boxmuller_f32 twice (the VPU transcendental budget is what decides
+    whether in-kernel noise pays — docs/PERF.md round 4)."""
+    def to_f32(bits):
+        return jax.lax.bitcast_convert_type(
+            bits >> 8, jnp.int32).astype(jnp.float32)
+
+    u1 = (to_f32(bits1) * (2.0 ** -24)) + (2.0 ** -25)
+    theta = (2.0 * math.pi) * to_f32(bits2) * (2.0 ** -24)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
 def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
                       f_a: int, f_b: int, m_a: int, m_b: int,
                       vpu_outer: bool, has_sched: bool, has_pin: bool,
-                      has_enc: bool, tol: float, *refs):
+                      has_enc: bool, has_noise: bool, tol: float, *refs):
     """Split variant: the L-axis Hadamard factor is decomposed as
     H_L = H_{f_a} (x) H_{f_b}, so no O(L^2) constant is materialized
     (H_4096 bf16 is 32 MB and broke Mosaic compile; H_32 + H_128 are KBs).
@@ -340,11 +381,21 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
     Step 3's reshape is layout-compatible (row-major concatenation).
     """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    ((y_ref, mask_ref, hfa_ref, hfb_ref, hmb_ref, sqi_ref, sqo_ref),
-     sched_ref, pin_ref, enc_ref,
-     (beta_ref, trace_ref, z_scr, b_scr, w_scr)) = _unpack_refs(
-        refs, 7, has_sched, has_pin, has_enc)
+    if has_noise:
+        # in-kernel channel synthesis: no y input at all — the masked
+        # AWGN is generated below into the extra y scratch buffer
+        (ins, sched_ref, pin_ref, enc_ref, noise_refs,
+         (beta_ref, trace_ref, z_scr, b_scr, w_scr, y_scr)) = _unpack_refs(
+            refs, 6, has_sched, has_pin, has_enc, has_noise)
+        mask_ref, hfa_ref, hfb_ref, hmb_ref, sqi_ref, sqo_ref = ins
+        y_ref = None
+    else:
+        ((y_ref, mask_ref, hfa_ref, hfb_ref, hmb_ref, sqi_ref, sqo_ref),
+         sched_ref, pin_ref, enc_ref, _,
+         (beta_ref, trace_ref, z_scr, b_scr, w_scr)) = _unpack_refs(
+            refs, 7, has_sched, has_pin, has_enc)
     L, M = b_scr.shape
     mask = mask_ref[:]                  # carries mask/n (scale-free scheme)
     sqi = sqi_ref[:]                    # sq * inv_sqrt_n
@@ -384,19 +435,53 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
     b_scr[:] = jnp.zeros((L, M), jnp.float32)
     z_scr[:] = jnp.zeros((L, M), jnp.float32)
     trace_ref[0] = jnp.zeros(trace_ref.shape[1:], jnp.float32)
-    # mask*y is loop-invariant: fold it into the aliased y block once so the
-    # loop does one full-tile multiply per residual update instead of two
-    # (mask carries mask/n, so select on sign instead of multiplying).
-    y_ref[0] = jnp.where(mask > 0.0, y_ref[0], 0.0)
+    if has_noise:
+        # In-kernel channel synthesis (round-3 VERDICT item 6): draw the
+        # masked AWGN from the per-core Pallas PRNG (seeded per codeword
+        # with two threefry-derived words) instead of reading an embedded
+        # (B, L, M) noise buffer from HBM — the XLA-side draw, the
+        # N-space scatter write, and the kernel's HBM read of y (measured
+        # 14.7% of headline block wall, scripts/noise_probe.py) all
+        # disappear.  Distribution-identical but NOT the same draws as
+        # the jax.random stream: opt-in via amp_noise_in_kernel.
+        seed_ref, sig_ref = noise_refs
+        pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
+        # both Box-Muller outputs fill the tile from half the bits and
+        # half the log/sqrt work (the two outputs of one (u1, u2) pair
+        # are iid normals; their placement across the tile is immaterial)
+        mh = M // 2
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits((L, mh)), jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits((L, mh)), jnp.uint32)
+        zc, zs = boxmuller_pair_f32(bits1, bits2)
+        y_scr[:] = jnp.where(
+            mask > 0.0,
+            sig_ref[0, 0] * jnp.concatenate([zc, zs], axis=1), 0.0)
+
+        def y_get():
+            return y_scr[:]
+
+        def y_set(v):
+            y_scr[:] = v
+    else:
+        # mask*y is loop-invariant: fold it into the aliased y block once
+        # so the loop does one full-tile multiply per residual update
+        # instead of two (mask carries mask/n: select on sign).
+        y_ref[0] = jnp.where(mask > 0.0, y_ref[0], 0.0)
+
+        def y_get():
+            return y_ref[0]
+
+        def y_set(v):
+            y_ref[0] = v
     if has_enc:
-        # In-kernel encode (see _amp_kernel_slab): y_ref arrived holding
-        # the masked channel noise; add maskf * H(sqo * one_hot(idx)) in
+        # In-kernel encode (see _amp_kernel_slab): y arrived holding the
+        # masked channel noise; add maskf * H(sqo * one_hot(idx)) in
         # two hi/lo passes (_enc_amp_parts — the codeword is a spec
         # quantity).
         cols = jax.lax.broadcasted_iota(jnp.int32, (L, M), 1)
         for part in _enc_amp_parts(sqo):
             b0 = jnp.where(cols == enc_ref[0], part, 0.0)
-            y_ref[0] = mask * fwht_tile(b0) + y_ref[0]
+            y_set(mask * fwht_tile(b0) + y_get())
 
     def trace_write(t, val):
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -412,7 +497,7 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
         bnorm2 = jnp.sum(beta * beta)
         coef = jnp.where(t == 0, 0.0, (P - bnorm2 / (n * n)) / tau2_prev)
         w = fwht_tile(beta)
-        z = y_ref[0] - mask * w + coef * z_scr[:]
+        z = y_get() - mask * w + coef * z_scr[:]
         z_scr[:] = z
         if has_sched:
             tau2 = sched_ref[t]
@@ -486,7 +571,7 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
     state x sqrt(n), both f32.
     """
     ((y_ref, mask_ref, hl_ref, hm_ref, sqi_ref, sqo_ref), sched_ref,
-     pin_ref, enc_ref, (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
+     pin_ref, enc_ref, _, (beta_ref, trace_ref, z_scr, b_scr)) = _unpack_refs(
         refs, 6, has_sched, has_pin, has_enc)
     L, M = b_scr.shape
     # NOTE: y_ref is aliased with beta_ref (input_output_aliases) to halve
@@ -669,7 +754,7 @@ def fwht_tile_pallas(x: jax.Array,          # (B, l, M)
     return out.reshape(B, l, M)
 
 
-def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
+def amp_fused(y_n: jax.Array | None,   # (B, L, M) N-space embedded y
               mask: jax.Array,         # (L, M)
               sq_npl: jax.Array,       # (L,)
               P: float, n: int, T: int,
@@ -683,6 +768,8 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
               form: str | None = None,   # None=auto | "slab"|"split"|"mono"
               tol: float = 0.0,          # per-codeword early stop (split)
               encode_idx: jax.Array | None = None,   # (B, L) int32
+              noise_seed: jax.Array | None = None,   # (B, 2) uint32
+              noise_sigma: jax.Array | None = None,  # scalar f32
               ):
     """Run the fused kernel: returns (beta (B, L, M), tau2_trace (T, B)),
     plus iters (B,) as a third element when tol > 0.
@@ -703,11 +790,29 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
     true indices — one extra in-kernel transform replaces the XLA
     one-hot/encode-FWHT pipeline (measured 24% of run_block wall at the
     headline shapes; docs/PERF.md round 3).
+
+    noise_seed (B, 2) uint32 + noise_sigma additionally enable IN-KERNEL
+    NOISE (round 4): y_n is dropped entirely (pass None) and the kernel
+    draws the masked AWGN itself (pltpu PRNG + Box-Muller, seeded per
+    codeword), removing the last (B, L, M) HBM materialization of the
+    trial path (14.7% of headline block wall — scripts/noise_probe.py).
+    Requires encode_idx, the split form, and a real TPU (the Pallas
+    interpreter has no PRNG lowering); distribution-identical to the XLA
+    noise but a different stream, so it is opt-in (amp_noise_in_kernel).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, L, M = y_n.shape
+    has_noise = noise_seed is not None
+    if has_noise:
+        assert encode_idx is not None, \
+            "in-kernel noise requires in-kernel encode (no y to embed)"
+        assert not interpret, \
+            "pltpu PRNG has no interpreter lowering; use the XLA noise path"
+        B, L = encode_idx.shape
+        M = mask.shape[1]
+    else:
+        B, L, M = y_n.shape
     assert T <= 1024, "trace buffer holds 1024 iterations"
     assert tol == 0.0 or T <= 1023, "early stop rides trace slot T"
     inv_sqrt_n = 1.0 / math.sqrt(n)
@@ -727,6 +832,16 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         extra_in.append(encode_idx.reshape(B, L, 1).astype(jnp.int32))
         extra_specs.append(pl.BlockSpec((1, L, 1), lambda b: (b, 0, 0),
                                         memory_space=pltpu.VMEM))
+    if has_noise:
+        # (B, 1, 2) so the per-program block's trailing dims equal the
+        # array dims (Mosaic SMEM blocking constraint)
+        extra_in.append(noise_seed.reshape(B, 1, 2).astype(jnp.uint32))
+        extra_specs.append(pl.BlockSpec((1, 1, 2), lambda b: (b, 0, 0),
+                                        memory_space=pltpu.SMEM))
+        extra_in.append(jnp.asarray(noise_sigma,
+                                    jnp.float32).reshape(1, 1))
+        extra_specs.append(pl.BlockSpec((1, 1), lambda b: (0, 0),
+                                        memory_space=pltpu.SMEM))
     common = dict(
         out_shape=(jax.ShapeDtypeStruct((B, L, M), jnp.float32),
                    jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
@@ -737,16 +852,18 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
             pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        # alias y_n with the beta output: y is only read during the loop and
-        # beta is written after it, so sharing the (1, L, M) block halves
-        # the double-buffered VMEM footprint.
-        input_output_aliases={0: 0},
         # the default scoped-vmem limit is 16 MB; v5e accepts far more —
         # raise the cap instead of shrinking tiles (docs/PERF.md).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
+    if not has_noise:
+        # alias y_n with the beta output: y is only read during the loop
+        # and beta is written after it, so sharing the (1, L, M) block
+        # halves the double-buffered VMEM footprint.  (With in-kernel
+        # noise there is no y input; beta gets its own block.)
+        common["input_output_aliases"] = {0: 0}
     tile_specs = [
         pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -775,6 +892,10 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         use_split = False
     else:
         assert form == "slab", form
+    if has_noise:
+        assert form != "slab" and use_split, (
+            "in-kernel noise is implemented on the split form only "
+            "(the shipped headline kernel); callers gate on amp_kernel")
     if form == "slab":
         f_b = min(f_b, L)
         assert L % f_b == 0, (L, f_b)
@@ -852,25 +973,37 @@ def amp_fused(y_n: jax.Array,          # (B, L, M) N-space embedded y
         kernel = functools.partial(_amp_kernel_split, T, n, float(P),
                                    inv_sqrt_n, f_a, f_b, m_a, m_b,
                                    vpu_outer, has_sched, has_pin, has_enc,
-                                   float(tol))
-        beta, trace = pl.pallas_call(
-            kernel,
-            in_specs=tile_specs + [
-                pl.BlockSpec((f_a, f_a), lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((f_b, f_b), lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((m_b, m_b), lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
-                sq_spec, sq_spec,
-            ] + extra_specs,
-            scratch_shapes=[
-                pltpu.VMEM((L, M), jnp.float32),
-                pltpu.VMEM((L, M), jnp.float32),
-                pltpu.VMEM((L, M), jnp.float32),
-            ],
-            **common,
-        )(y_n, mask_n, hfa, hfb, hmb, sqi2, sqo2, *extra_in)
+                                   has_noise, float(tol))
+        factor_specs = [
+            pl.BlockSpec((f_a, f_a), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_b, f_b), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_b, m_b), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        scratch = [
+            pltpu.VMEM((L, M), jnp.float32),
+            pltpu.VMEM((L, M), jnp.float32),
+            pltpu.VMEM((L, M), jnp.float32),
+        ]
+        if has_noise:
+            # no y input; an extra (L, M) scratch holds the synthesized y
+            beta, trace = pl.pallas_call(
+                kernel,
+                in_specs=[tile_specs[1]] + factor_specs
+                         + [sq_spec, sq_spec] + extra_specs,
+                scratch_shapes=scratch + [pltpu.VMEM((L, M), jnp.float32)],
+                **common,
+            )(mask_n, hfa, hfb, hmb, sqi2, sqo2, *extra_in)
+        else:
+            beta, trace = pl.pallas_call(
+                kernel,
+                in_specs=tile_specs + factor_specs
+                         + [sq_spec, sq_spec] + extra_specs,
+                scratch_shapes=scratch,
+                **common,
+            )(y_n, mask_n, hfa, hfb, hmb, sqi2, sqo2, *extra_in)
     # unpack padded trace -> (T, B); slot T carries the per-codeword
     # iterations-used count when the early stop is on
     flat = trace.reshape(B, 8 * 128)

@@ -60,6 +60,8 @@ def amp_fused_sharded(
     fused_split: Optional[bool] = None,
     tol: float = 0.0,                # per-codeword early stop (amp_tol)
     encode_idx: Optional[jax.Array] = None,   # (B, L) int32, pure DP only
+    noise_seed: Optional[jax.Array] = None,   # (B, 2) uint32, pure DP only
+    noise_sigma: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused AMP under a ('data','section') mesh.
 
@@ -79,7 +81,12 @@ def amp_fused_sharded(
     data_axis = policy.data_axis
     section_axis = policy.section_axis
     S = mesh.shape[section_axis] if section_axis is not None else 1
-    B, L, M = y_n.shape
+    if y_n is not None:
+        B, L, M = y_n.shape
+    else:
+        # in-kernel noise: no y tensor exists; geometry from mask/idx
+        B, L = noise_seed.shape[0], mask.shape[0]
+        M = mask.shape[1]
     inv_sqrt_n = 1.0 / math.sqrt(n)
     has_sched = tau2_schedule is not None
     has_pin = pin_val is not None
@@ -88,32 +95,42 @@ def amp_fused_sharded(
     mask = mask.astype(jnp.float32)
 
     has_enc = encode_idx is not None
-    assert not (has_enc and S > 1), (
-        "in-kernel encode needs each codeword's whole (L, M) one-hot on "
-        "one device; section-sharded callers encode in XLA")
+    has_noise = noise_seed is not None
+    assert not ((has_enc or has_noise) and S > 1), (
+        "in-kernel encode/noise need each codeword's whole (L, M) state "
+        "on one device; section-sharded callers encode in XLA")
 
     if S == 1:
         # pure DP: the unmodified mega-kernel per device.  In-kernel
         # encode composes trivially here (round-3 VERDICT missing #3):
         # each device gets its batch slice of the true-index tensor and
         # its kernel synthesizes x = A beta0 locally — y_n then carries
-        # the embedded NOISE, exactly like the single-chip path.
-        def local_dp(y_loc, *opt):
-            opt = list(opt)
-            sched = opt.pop(0) if has_sched else None
-            pin = opt.pop(0) if has_pin else None
-            enc = opt.pop(0) if has_enc else None
+        # the embedded NOISE, exactly like the single-chip path.  With
+        # in-kernel noise there is no y tensor at all: each device gets
+        # its slice of the per-codeword PRNG seeds instead.
+        def local_dp(*a):
+            a = list(a)
+            y_loc = None if has_noise else a.pop(0)
+            sched = a.pop(0) if has_sched else None
+            pin = a.pop(0) if has_pin else None
+            enc = a.pop(0) if has_enc else None
+            seed = a.pop(0) if has_noise else None
+            sig = a.pop(0) if has_noise else None
             out = amp_fused(y_loc, mask, sq_npl, P_pow, n, T,
                             interpret=interpret, split=fused_split,
                             tau2_schedule=sched, pin_val=pin, tol=tol,
-                            encode_idx=enc)
+                            encode_idx=enc, noise_seed=seed,
+                            noise_sigma=sig)
+            Bd = (y_loc if not has_noise else seed).shape[0]
             if tol:
                 return out
             beta, trace = out
-            return beta, trace, jnp.full((y_loc.shape[0],), T, jnp.int32)
+            return beta, trace, jnp.full((Bd,), T, jnp.int32)
 
-        in_specs = [P(data_axis, None, None)]
-        args = [y_n]
+        in_specs, args = [], []
+        if not has_noise:
+            in_specs.append(P(data_axis, None, None))
+            args.append(y_n)
         if has_sched:
             in_specs.append(P())
             args.append(tau2_schedule)
@@ -123,6 +140,11 @@ def amp_fused_sharded(
         if has_enc:
             in_specs.append(P(data_axis, None))
             args.append(encode_idx)
+        if has_noise:
+            in_specs.append(P(data_axis, None))
+            args.append(noise_seed)
+            in_specs.append(P())
+            args.append(jnp.asarray(noise_sigma, jnp.float32))
         # check_vma=False: pallas_call's out_shape carries no varying-mesh
         # annotation, so the vma checker cannot see through it.
         beta3, trace, iters = jax.shard_map(

@@ -117,3 +117,64 @@ def test_denoiser_extreme_tau_no_overflow():
     beta, post = denoise(s, tau2, sq)
     assert np.all(np.isfinite(np.asarray(beta)))
     np.testing.assert_allclose(np.asarray(post[0, :, 3]), 1.0, atol=1e-6)
+
+
+def test_boxmuller_statistics():
+    """In-kernel noise math (ops.amp_kernel.boxmuller_f32): uint32 bits ->
+    standard normals.  Mean/variance/tail masses within CLT bands and the
+    documented 5.9-sigma u1-floor truncation (round 4; the kernel feeds
+    the same function pltpu.prng_random_bits tiles)."""
+    import math
+
+    from sparc_ldpc_tpu.ops.amp_kernel import boxmuller_f32
+
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 1 << 32, size=(2, 512, 1024), dtype=np.uint32)
+    z = np.asarray(boxmuller_f32(jnp.asarray(bits[0]), jnp.asarray(bits[1])))
+    N = z.size
+    assert abs(z.mean()) < 5.0 / np.sqrt(N)
+    assert abs(z.var() - 1.0) < 0.01
+    for t in (1.0, 2.0, 3.0):
+        p = math.erfc(t / math.sqrt(2.0))
+        phat = float(np.mean(np.abs(z) > t))
+        se = math.sqrt(p * (1 - p) / N)
+        assert abs(phat - p) < 5 * se, (t, phat, p)
+    assert np.max(np.abs(z)) < 5.95
+
+
+def test_noise_in_kernel_cpu_fallback_matches():
+    """amp_noise_in_kernel needs a real TPU (no interpreter PRNG); on CPU
+    backends the flag must fall back to the XLA noise draw and reproduce
+    the flag-off counters bitwise (same nkeys, same draws)."""
+    from sparc_ldpc_tpu.models.sparc import SparcModel
+    from sparc_ldpc_tpu.utils import rng as rngu
+
+    base = dict(L=64, M=64, R=1.0, op_kind="hadamard", amp_iters=8,
+                amp_tol=0.0, transform_precision="bf16",
+                amp_kernel="fused_split")
+    tk = rngu.trial_keys(rngu.base_key(11), 8)
+    outs = []
+    for flag in (False, True):
+        m = SparcModel.build(SparcConfig(**base, amp_noise_in_kernel=flag),
+                             ebno_db=5.0)
+        out = jax.jit(m.run_block)(tk)
+        outs.append({k: int(v) for k, v in out.items()
+                     if k in ("bit_errors", "frame_errors",
+                              "section_errors", "iters_sum")})
+    assert outs[0] == outs[1]
+
+
+def test_boxmuller_pair_statistics():
+    """Both Box-Muller outputs (the kernel's actual generation scheme):
+    each output standard-normal, and the pair uncorrelated."""
+    from sparc_ldpc_tpu.ops.amp_kernel import boxmuller_pair_f32
+
+    rng = np.random.default_rng(13)
+    bits = rng.integers(0, 1 << 32, size=(2, 512, 512), dtype=np.uint32)
+    zc, zs = boxmuller_pair_f32(jnp.asarray(bits[0]), jnp.asarray(bits[1]))
+    for z in (np.asarray(zc), np.asarray(zs)):
+        N = z.size
+        assert abs(z.mean()) < 5.0 / np.sqrt(N)
+        assert abs(z.var() - 1.0) < 0.015
+    corr = float(np.mean(np.asarray(zc) * np.asarray(zs)))
+    assert abs(corr) < 5.0 / np.sqrt(zc.size)

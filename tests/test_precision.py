@@ -157,7 +157,9 @@ def test_split_fused_kernel_matches_xla_interpret(vpu_outer):
     y_n = m.op.embed_y(y).reshape(B, L, M)
     kernel = functools.partial(AK._amp_kernel_split, cfg.amp_iters, cfg.n,
                                1.0, 1.0 / math.sqrt(cfg.n), f_a, f_b,
-                               1, M, vpu_outer, False, False, False, 0.0)
+                               1, M, vpu_outer,
+                               False, False, False, False, 0.0)
+    # flags: has_sched, has_pin, has_enc, has_noise; then tol
     beta, trace = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((B, L, M), jnp.float32),
