@@ -90,6 +90,20 @@ ORACLE_TRIALS_FLOOR = {
     "concat_small": 5_000,
     "fast_l4096": 300,
 }
+
+# Relative floor on the oracle-vs-TPU bound (run_check / test_ber_parity).
+# Default 1%: f32-vs-float64 shifts the plain_small metastable-plateau BER
+# ~0.7% relative (measured identical for f32 XLA and bf16 fused — the
+# round-2 control).  concat_small: 15% — the concatenated chain's
+# mid-waterfall (FER ~ 0.57 at 3.0 dB) is a threshold phenomenon where
+# f32-anywhere shifts BER ~12% relative vs float64: the round-4
+# kind="control_f32xla" records (scripts/concat_f32_control.py: XLA
+# kernels, transform_precision="highest", NO bf16/Pallas) land on the
+# bf16 fused leg within 0.5% at every point while the f64 oracle sits
+# 12% away at 3.0 dB.  The tight implementation check is therefore
+# control-vs-TPU (run_check below, 2%-floor), and oracle-vs-TPU carries
+# the measured precision-sensitivity floor.
+REL_FLOOR = {"concat_small": 0.15}
 OUT = os.path.join(os.path.dirname(__file__), "..", "results")
 
 
@@ -388,6 +402,8 @@ def run_check(presets, strict=True):
                  and abs(r["ebno_db"] - ebno) < 1e-9]
             s = [r for r in recs if r["kind"] == "se"
                  and abs(r["ebno_db"] - ebno) < 1e-9]
+            c = [r for r in recs if r["kind"] == "control_f32xla"
+                 and abs(r["ebno_db"] - ebno) < 1e-9]
             if not (o and t):
                 print(f"{preset} @ {ebno}: MISSING "
                       f"(oracle={bool(o)}, tpu={bool(t)})")
@@ -395,16 +411,14 @@ def run_check(presets, strict=True):
                 continue
             o, t = o[-1], t[-1]
             gap = abs(o["ber"] - t["ber"])
-            # joint 95% CI, floored at 1% relative: at flat-PA stall
-            # plateaus (plain_small @ 2 dB: BER ~0.22, a metastable
-            # no-decode fixed point) f32 arithmetic shifts the plateau BER
-            # ~0.7% relative vs float64 — verified a PRECISION effect, not
-            # a kernel one: the f32 XLA path measures 0.22166 +- 0.0011,
-            # identical to the bf16 fused kernel (0.2217), both below the
-            # float64 oracle (0.2234).  Waterfall/converged points agree
-            # within the plain binomial CI.
+            # joint 95% CI, floored at a measured precision-sensitivity
+            # relative bound (REL_FLOOR; default 1% — the plain_small
+            # plateau control: f32 XLA 0.22166 +- 0.0011 == bf16 fused
+            # 0.2217, both below the float64 oracle 0.2234.  concat_small
+            # carries 15% from its round-4 control legs — see REL_FLOOR).
+            rel = REL_FLOOR.get(preset, 0.01)
             bound = max(math.hypot(ci_ber(o), ci_ber(t)),
-                        0.01 * max(o["ber"], t["ber"]))
+                        rel * max(o["ber"], t["ber"]))
             line = (f"{preset} @ {ebno}: oracle {o['ber']:.3e} "
                     f"tpu {t['ber']:.3e} |gap| {gap:.2e} "
                     f"joint95 {bound:.2e} -> "
@@ -413,6 +427,20 @@ def run_check(presets, strict=True):
                 line += f"  (SE ber {s[-1]['ber']:.3e})"
             print(line)
             ok &= gap <= bound
+            if c:
+                # tight same-precision implementation check: the bf16
+                # fused production route vs the f32-XLA control, both on
+                # chip — precision sensitivity cancels, so this stays at
+                # a 2% relative floor
+                c = c[-1]
+                gap_c = abs(c["ber"] - t["ber"])
+                bound_c = max(math.hypot(ci_ber(c), ci_ber(t)),
+                              0.02 * max(c["ber"], t["ber"]))
+                print(f"{preset} @ {ebno}: control(f32 xla) "
+                      f"{c['ber']:.3e} vs tpu |gap| {gap_c:.2e} "
+                      f"joint95 {bound_c:.2e} -> "
+                      f"{'OK' if gap_c <= bound_c else 'APART'}")
+                ok &= gap_c <= bound_c
     return ok
 
 

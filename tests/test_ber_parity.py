@@ -48,14 +48,46 @@ def test_ber_ci_overlap(preset, ebno, oracle, tpu):
         f"{preset}: oracle leg has {oracle['trials']} trials < floor "
         f"{bp.ORACLE_TRIALS_FLOOR[preset]}")
     gap = abs(oracle["ber"] - tpu["ber"])
-    # joint 95% CI with a 1%-relative floor — f32-vs-float64 shifts the
-    # metastable stall-plateau BER ~0.7% relative (measured identical for
-    # f32 XLA and bf16 fused TPU paths; see scripts/ber_parity.py check)
+    # joint 95% CI with a MEASURED precision-sensitivity relative floor
+    # (bp.REL_FLOOR: 1% default from the plain_small plateau control;
+    # 15% for concat_small from its round-4 f32-XLA control legs — f32
+    # anywhere shifts the concat mid-waterfall BER ~12% relative vs
+    # float64 while the f32 control matches the bf16 kernel to 0.5%).
+    # The tight same-precision check is test_control_vs_tpu below.
     bound = max(math.hypot(bp.ci_ber(oracle), bp.ci_ber(tpu)),
-                0.01 * max(oracle["ber"], tpu["ber"]))
+                bp.REL_FLOOR.get(preset, 0.01)
+                * max(oracle["ber"], tpu["ber"]))
     assert gap <= bound, (
         f"{preset} @ {ebno} dB: oracle BER {oracle['ber']:.4e} vs TPU "
         f"{tpu['ber']:.4e}, |gap| {gap:.3e} > joint 95% {bound:.3e}")
+
+
+def test_control_vs_tpu_within_ci():
+    """Same-precision implementation check: wherever an f32-XLA control
+    leg exists (scripts/concat_f32_control.py — XLA kernels, "highest"
+    transforms, no bf16/Pallas), the production bf16 fused route must sit
+    on it within the joint 95% CI at a 2% relative floor.  Precision
+    sensitivity cancels between the two on-chip f32-family routes, so
+    this stays tight where the oracle comparison carries the measured
+    f64-sensitivity floor."""
+    checked = 0
+    for preset in bp.GRIDS:
+        recs = bp.load_records(preset)
+        for ebno in bp.GRIDS[preset]:
+            c = [r for r in recs if r["kind"] == "control_f32xla"
+                 and abs(r["ebno_db"] - ebno) < 1e-9]
+            t = [r for r in recs if r["kind"] == "tpu"
+                 and abs(r["ebno_db"] - ebno) < 1e-9]
+            if not (c and t):
+                continue
+            c, t = c[-1], t[-1]
+            gap = abs(c["ber"] - t["ber"])
+            bound = max(math.hypot(bp.ci_ber(c), bp.ci_ber(t)),
+                        0.02 * max(c["ber"], t["ber"]))
+            assert gap <= bound, (preset, ebno, c["ber"], t["ber"])
+            checked += 1
+    if not checked:
+        pytest.skip("no control legs in the artifacts yet")
 
 
 def test_se_tracks_tpu_ser():
