@@ -385,12 +385,14 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
 
     if has_noise:
         # in-kernel channel synthesis: no y input at all — the masked
-        # AWGN is generated below into the extra y scratch buffer
+        # AWGN is generated below into the BETA OUTPUT block, which is
+        # idle until the final post-loop write (zero extra VMEM; the
+        # L=4096 split otherwise overflows the 100 MB scoped budget)
         (ins, sched_ref, pin_ref, enc_ref, noise_refs,
-         (beta_ref, trace_ref, z_scr, b_scr, w_scr, y_scr)) = _unpack_refs(
+         (beta_ref, trace_ref, z_scr, b_scr, w_scr)) = _unpack_refs(
             refs, 6, has_sched, has_pin, has_enc, has_noise)
         mask_ref, hfa_ref, hfb_ref, hmb_ref, sqi_ref, sqo_ref = ins
-        y_ref = None
+        y_ref = beta_ref
     else:
         ((y_ref, mask_ref, hfa_ref, hfb_ref, hmb_ref, sqi_ref, sqo_ref),
          sched_ref, pin_ref, enc_ref, _,
@@ -453,26 +455,20 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
         bits1 = pltpu.bitcast(pltpu.prng_random_bits((L, mh)), jnp.uint32)
         bits2 = pltpu.bitcast(pltpu.prng_random_bits((L, mh)), jnp.uint32)
         zc, zs = boxmuller_pair_f32(bits1, bits2)
-        y_scr[:] = jnp.where(
+        y_ref[0] = jnp.where(
             mask > 0.0,
             sig_ref[0, 0] * jnp.concatenate([zc, zs], axis=1), 0.0)
-
-        def y_get():
-            return y_scr[:]
-
-        def y_set(v):
-            y_scr[:] = v
     else:
         # mask*y is loop-invariant: fold it into the aliased y block once
         # so the loop does one full-tile multiply per residual update
         # instead of two (mask carries mask/n: select on sign).
         y_ref[0] = jnp.where(mask > 0.0, y_ref[0], 0.0)
 
-        def y_get():
-            return y_ref[0]
+    def y_get():
+        return y_ref[0]
 
-        def y_set(v):
-            y_ref[0] = v
+    def y_set(v):
+        y_ref[0] = v
     if has_enc:
         # In-kernel encode (see _amp_kernel_slab): y arrived holding the
         # masked channel noise; add maskf * H(sqo * one_hot(idx)) in
@@ -988,12 +984,13 @@ def amp_fused(y_n: jax.Array | None,   # (B, L, M) N-space embedded y
             pltpu.VMEM((L, M), jnp.float32),
         ]
         if has_noise:
-            # no y input; an extra (L, M) scratch holds the synthesized y
+            # no y input; the beta OUT block doubles as the y buffer
+            # during the loop (it is only written after it)
             beta, trace = pl.pallas_call(
                 kernel,
                 in_specs=[tile_specs[1]] + factor_specs
                          + [sq_spec, sq_spec] + extra_specs,
-                scratch_shapes=scratch + [pltpu.VMEM((L, M), jnp.float32)],
+                scratch_shapes=scratch,
                 **common,
             )(mask_n, hfa, hfb, hmb, sqi2, sqo2, *extra_in)
         else:

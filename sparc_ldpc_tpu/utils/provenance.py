@@ -20,6 +20,27 @@ def config_hash(cfg: object) -> str:
     return hashlib.sha1(repr(cfg).encode()).hexdigest()[:12]
 
 
+# Config fields added AFTER artifacts were generated whose default value
+# preserves the prior behavior exactly (the artifact's numbers cannot
+# depend on a flag that did not exist and whose default is "off").  For
+# such fields, an artifact hashed before the field existed still
+# describes the current preset as long as the preset holds the default —
+# config_hashes() therefore also yields the legacy fingerprint with the
+# default-valued field elided from the repr.
+_DEFAULT_PRESERVING = ("amp_noise_in_kernel=False, ",)
+
+
+def config_hashes(cfg: object) -> set:
+    """Current fingerprint plus legacy fingerprints of reprs that predate
+    default-preserving fields (see _DEFAULT_PRESERVING)."""
+    r = repr(cfg)
+    out = {hashlib.sha1(r.encode()).hexdigest()[:12]}
+    for frag in _DEFAULT_PRESERVING:
+        r2 = r.replace(frag, "")
+        out.add(hashlib.sha1(r2.encode()).hexdigest()[:12])
+    return out
+
+
 def git_commit() -> Optional[str]:
     """Short HEAD commit of the source tree, or None outside a checkout."""
     try:
