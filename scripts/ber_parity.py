@@ -59,6 +59,19 @@ CONCAT_PRESETS = {
         ldpc=LdpcConfig(kind="array", z=13, rows_b=3, cols_b=12,
                         bp_iters=24, engine="qc", schedule="layered"),
         f_prot=0.5, feedback_iters=8),
+    # Standard-code chain (judged family 4b, `concat_wifi`): the SAME
+    # reduced L=256 inner SPARC carrying ONE 802.11n n=648 rate-1/2
+    # codeword (72 protected sections = f_prot 0.28), decoded layered on
+    # the QC engine — the float64 anchor for the checked-in standard
+    # base matrix + its dual-diagonal structure end-to-end (round 4;
+    # previously the standard codes were anchored by structure tests and
+    # decode-success only).  User rate 1980/2304 = 0.859.
+    "concat_wifi_small": ConcatConfig(
+        sparc=SparcConfig(L=256, M=512, R=1.0, power_alloc="iterative",
+                          op_kind="hadamard"),
+        ldpc=LdpcConfig(kind="qc", path="wifi_n648_r12", engine="qc",
+                        schedule="layered", bp_iters=32),
+        f_prot=0.28, feedback_iters=8),
 }
 
 GRIDS = {
@@ -67,6 +80,10 @@ GRIDS = {
     # pre-waterfall / mid / post (probed: FER 11/12 -> 4/12 -> 2/12,
     # BER 8.7e-2 -> 2.0e-2 -> 5e-4 at 12 trials); user rate 0.904
     "concat_small": [2.5, 3.0, 3.5],
+    # standard-code chain: pre-waterfall / knee / tail (probed at 8
+    # trials: FER 7/8 -> 4/8 -> 3/8, BER 8e-2 -> 1.5e-3 -> 8e-4;
+    # the unprotected sections dominate residual frame errors)
+    "concat_wifi_small": [2.5, 3.0, 3.5],
     # judged config 3 (L=4096, ML=2^21): direct float64 anchors at the
     # waterfall HEAD, where FER=1.0 makes a few hundred oracle trials a
     # tight BER measurement (~300k bit errors at 5.0 dB) — round-3
@@ -88,6 +105,7 @@ ORACLE_TRIALS_FLOOR = {
     "plain_small": 10_000,
     "pa_l1024": 4_000,
     "concat_small": 5_000,
+    "concat_wifi_small": 5_000,
     "fast_l4096": 300,
 }
 
@@ -103,7 +121,7 @@ ORACLE_TRIALS_FLOOR = {
 # 12% away at 3.0 dB.  The tight implementation check is therefore
 # control-vs-TPU (run_check below, 2%-floor), and oracle-vs-TPU carries
 # the measured precision-sensitivity floor.
-REL_FLOOR = {"concat_small": 0.15}
+REL_FLOOR = {"concat_small": 0.15, "concat_wifi_small": 0.15}
 OUT = os.path.join(os.path.dirname(__file__), "..", "results")
 
 

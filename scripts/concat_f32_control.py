@@ -28,8 +28,8 @@ from sparc_ldpc_tpu.utils import rng as rngu
 
 
 def main():
-    preset = "concat_small"
-    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
+    preset = sys.argv[1] if len(sys.argv) > 1 else "concat_small"
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 10240
     batch = 512
     cfg = CONCAT_PRESETS[preset]
     cfg = replace(cfg, sparc=replace(

@@ -83,6 +83,44 @@ def main():
                if k in ("bit_errors", "frame_errors", "section_errors")}
     assert got == ref, (got, ref)
     print(f"dp-mesh noise leg OK: {got}", flush=True)
+
+    # concat chain with in-kernel noise (round 4 extension): the PRNG
+    # seeds flow between the staged jits and the stage-3 feedback kernel
+    # re-synthesizes the IDENTICAL noise from them.  Checks: (a) the
+    # route engages; (b) monolithic == staged bitwise (seed plumbing);
+    # (c) decode quality at a decisive point matches the XLA-noise
+    # route's counters (a seed/noise mismatch between the two AMP passes
+    # acts like a corrupted observation and wrecks the feedback pass).
+    from sparc_ldpc_tpu.config import ConcatConfig, LdpcConfig
+    from sparc_ldpc_tpu.models.concat import ConcatModel
+
+    ccfg = ConcatConfig(
+        sparc=SparcConfig(L=256, M=512, R=1.0, power_alloc="iterative",
+                          op_kind="hadamard", amp_iters=12, amp_tol=0.0,
+                          amp_kernel="fused_split",
+                          transform_precision="bf16"),
+        ldpc=LdpcConfig(kind="array", z=13, rows_b=3, cols_b=12,
+                        bp_iters=16, engine="qc", schedule="layered"),
+        f_prot=0.5, feedback_iters=4)
+    tkc = rngu.trial_keys(rngu.base_key(5), 64)
+    keys = ("bit_errors", "frame_errors", "bp_ok")
+    outs = {}
+    for flag in (False, True):
+        cm = ConcatModel.build(ccfg.replace(sparc=ccfg.sparc.replace(
+            amp_noise_in_kernel=flag)), ebno_db=6.0)
+        assert cm._noise_in_kernel == flag
+        mono = {k: int(v) for k, v in jax.jit(cm.run_block)(tkc).items()
+                if k in keys}
+        staged = {k: int(v) for k, v in cm.run_block_staged(tkc).items()
+                  if k in keys}
+        assert mono == staged, (flag, mono, staged)
+        outs[flag] = mono
+        print(f"concat noise_in_kernel={flag}: {mono} "
+              f"(num_cw={cm.num_cw})", flush=True)
+    # decisive point: both noise streams decode everything, all
+    # codewords pass the syndrome check
+    assert outs[True]["bit_errors"] == outs[False]["bit_errors"] == 0, outs
+    assert outs[True]["bp_ok"] == outs[False]["bp_ok"] == 64 * cm.num_cw
     print("smoke OK", flush=True)
 
 

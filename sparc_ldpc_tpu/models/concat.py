@@ -133,6 +133,24 @@ class ConcatModel:
                 and self.sparc.op.mask is not None
                 and c.L <= 4096 and c.M <= 1024)
 
+    @property
+    def _noise_in_kernel(self) -> bool:
+        """In-kernel AWGN for the self-generated trial paths (round 4):
+        instead of carrying the explicit noise vector between the staged
+        jits, the per-codeword PRNG SEEDS flow through — the inner AMP
+        kernel synthesizes mask o AWGN itself, and the pinned feedback
+        kernel re-synthesizes the identical noise from the same seeds
+        (the pltpu PRNG is deterministic per seed), just like it already
+        re-synthesizes the signal from the same true indices.  Same
+        gate as SparcModel.run_block_params: split form, real TPU."""
+        import jax as _jax
+
+        c = self.cfg.sparc
+        return (self._enc_in_kernel and c.amp_noise_in_kernel
+                and (c.amp_kernel == "fused_split"
+                     or (c.amp_kernel == "fused" and c.L > 1024))
+                and _jax.default_backend() != "cpu")
+
     def _protected_llrs(self, scores: jax.Array) -> jax.Array:
         """Log-posterior scores -> bitwise LLRs for protected sections.
 
@@ -163,10 +181,11 @@ class ConcatModel:
         cw_hat = cw_bits.reshape(B, self.num_cw * self.ldpc.n)
         return cw_hat, bp.ok.reshape(B, self.num_cw), bp.iters.reshape(B, -1)
 
-    def _feedback_user_bits(self, y: jax.Array, cw_hat: jax.Array,
+    def _feedback_user_bits(self, y: Optional[jax.Array], cw_hat: jax.Array,
                             ok: jax.Array,
                             sq_npl: Optional[jax.Array] = None,
-                            enc_idx: Optional[jax.Array] = None
+                            enc_idx: Optional[jax.Array] = None,
+                            noise_kw: Optional[dict] = None
                             ) -> jax.Array:
         """(5)-(6): gated pinned re-AMP -> assembled user bits (B, k_user).
 
@@ -176,7 +195,7 @@ class ConcatModel:
         bp.ok makes failed frames fall back to plain-AMP quality and
         decoded frames typically become error-free.
         """
-        B = y.shape[0]
+        B = cw_hat.shape[0]
         logM, M = self.cfg.sparc.logM, self.cfg.sparc.M
         prot_idx = bits_to_indices(cw_hat, logM)              # (B, Lp)
         bit_ok = jnp.repeat(ok, self.ldpc.n, axis=1)          # (B, Lp*logM)
@@ -185,11 +204,11 @@ class ConcatModel:
             [jnp.zeros((B, self.Lu), bool), sec_ok], axis=1)
         full_idx = jnp.concatenate(
             [jnp.zeros((B, self.Lu), jnp.int32), prot_idx], axis=1)
-        pin_onehot = jax.nn.one_hot(full_idx, M, dtype=y.dtype)
+        pin_onehot = jax.nn.one_hot(full_idx, M, dtype=jnp.float32)
         res2 = self.sparc.decode(
             y, T=self.cfg.feedback_iters, sq_npl=sq_npl,
             pinned_onehot=pin_onehot, pinned_mask=pin_mask,
-            encode_idx=enc_idx)
+            encode_idx=enc_idx, **(noise_kw or {}))
         unprot_idx = hard_indices(res2.beta)[:, : self.Lu]
         unprot_bits = indices_to_bits(unprot_idx, logM)
         msg_bits = self.ldpc.extract_message(
@@ -236,30 +255,52 @@ class ConcatModel:
         bits = jax.vmap(
             lambda k: jax.random.bernoulli(k, 0.5, (self.k_user,))
         )(mkeys).astype(jnp.int32)
-        noise = jax.vmap(
-            lambda k: jax.random.normal(k, (self.sparc.cfg.n,),
-                                        dtype=jnp.float32))(nkeys)
-        if self._enc_in_kernel:
+        if self._noise_in_kernel:
+            # the `y` slot carries the per-codeword PRNG SEEDS: both the
+            # inner kernel here and the stage-3 feedback kernel
+            # synthesize the identical masked AWGN from them (plus the
+            # signal from the true indices) — no noise vector exists
+            # outside the kernels at all
+            idx = self._true_indices(bits)
+            y = jax.vmap(jax.random.key_data)(nkeys).reshape(
+                bits.shape[0], 2)
+            res = self.sparc.decode(None, sq_npl=sq_npl, encode_idx=idx,
+                                    noise_seed=y, noise_sigma=sigma)
+        elif self._enc_in_kernel:
             # y carries the NOISE; the kernel adds mask o (A beta0)
             # itself (and again in the stage-3 feedback pass)
             idx = self._true_indices(bits)
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, (self.sparc.cfg.n,),
+                                            dtype=jnp.float32))(nkeys)
             y = noise * sigma
             res = self.sparc.decode(y, sq_npl=sq_npl, encode_idx=idx)
         else:
             idx = jnp.zeros((bits.shape[0], self.cfg.sparc.L), jnp.int32)
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, (self.sparc.cfg.n,),
+                                            dtype=jnp.float32))(nkeys)
             y = self.encode(bits, sq_npl) + noise * sigma
             res = self.sparc.decode(y, sq_npl=sq_npl)
         return bits, y, res.scores, res.iters, idx
 
     def _stage_finish(self, y, cw_hat, ok, bits, amp_iters, enc_idx):
-        return self._stage_finish_params(y, cw_hat, ok, bits, amp_iters,
-                                         enc_idx, self.sparc.sq_npl)
+        return self._stage_finish_params(
+            y, cw_hat, ok, bits, amp_iters, enc_idx, self.sparc.sq_npl,
+            jnp.float32(math.sqrt(self.sparc.sigma2)))
 
     def _stage_finish_params(self, y, cw_hat, ok, bits, amp_iters, enc_idx,
-                             sq_npl):
+                             sq_npl, sigma):
+        if self._noise_in_kernel:
+            # `y` holds the PRNG seeds (see _stage_gen_amp_params); the
+            # feedback kernel re-synthesizes the identical noise
+            y_obs, nkw = None, dict(noise_seed=y, noise_sigma=sigma)
+        else:
+            y_obs, nkw = y, None
         user_hat = self._feedback_user_bits(
-            y, cw_hat, ok, sq_npl,
-            enc_idx=enc_idx if self._enc_in_kernel else None)
+            y_obs, cw_hat, ok, sq_npl,
+            enc_idx=enc_idx if self._enc_in_kernel else None,
+            noise_kw=nkw)
         bit_errors = jnp.sum(bits != user_hat, axis=-1)
         return dict(
             bit_errors=jnp.sum(bit_errors),
@@ -267,7 +308,7 @@ class ConcatModel:
             # (scripts/ber_parity.py; campaign journals carry it too)
             bit_errors_sq=jnp.sum(bit_errors.astype(jnp.float32) ** 2),
             frame_errors=jnp.sum(bit_errors > 0),
-            trials=jnp.asarray(y.shape[0], dtype=jnp.int32),
+            trials=jnp.asarray(bits.shape[0], dtype=jnp.int32),
             bp_ok=jnp.sum(ok),
             iters_sum=jnp.sum(amp_iters),
         )
@@ -293,12 +334,23 @@ class ConcatModel:
         bits = jax.vmap(
             lambda k: jax.random.bernoulli(k, 0.5, (self.k_user,))
         )(mkeys).astype(jnp.int32)
-        noise = jax.vmap(
-            lambda k: jax.random.normal(k, (self.sparc.cfg.n,),
-                                        dtype=jnp.float32))(nkeys)
         sigma = math.sqrt(self.sparc.sigma2)
-        if self._enc_in_kernel:
+        if self._noise_in_kernel:
             idx = self._true_indices(bits)
+            seeds = jax.vmap(jax.random.key_data)(nkeys).reshape(batch, 2)
+            nkw = dict(noise_seed=seeds, noise_sigma=jnp.float32(sigma))
+            res = self.sparc.decode(None, encode_idx=idx, **nkw)
+            cw_hat, ok, bp_iters = self._bp_from_scores(res.scores)
+            user_hat = self._feedback_user_bits(None, cw_hat, ok,
+                                                enc_idx=idx, noise_kw=nkw)
+            out = dict(user_bits=user_hat, bp_ok=ok,
+                       amp_iters=res.iters, bp_iters=bp_iters,
+                       tau2_final=res.tau2_trace[-1])
+        elif self._enc_in_kernel:
+            idx = self._true_indices(bits)
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, (self.sparc.cfg.n,),
+                                            dtype=jnp.float32))(nkeys)
             y = noise * sigma
             res = self.sparc.decode(y, encode_idx=idx)
             cw_hat, ok, bp_iters = self._bp_from_scores(res.scores)
@@ -308,6 +360,9 @@ class ConcatModel:
                        amp_iters=res.iters, bp_iters=bp_iters,
                        tau2_final=res.tau2_trace[-1])
         else:
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, (self.sparc.cfg.n,),
+                                            dtype=jnp.float32))(nkeys)
             y = self.encode(bits) + noise * sigma
             out = self.decode(y)
         bit_errors = jnp.sum(bits != out["user_bits"], axis=-1)
@@ -379,7 +434,7 @@ class ConcatSweep:
             s2 = sw._jit("s2", m._bp_from_scores)
             cw_hat, ok, _ = s2(scores)
             s3 = sw._jit("s3", m._stage_finish_params)
-            return s3(y, cw_hat, ok, bits, iters, idx, sq)
+            return s3(y, cw_hat, ok, bits, iters, idx, sq, sigma)
         run_block_staged._prejitted = True   # campaign must not re-jit
 
     def model_for_point(self, ebno_db: float) -> object:

@@ -418,3 +418,34 @@ def test_collective_fwht_model_matches_single_device():
     with jax.sharding.set_mesh(mesh):
         got = _counters(model_c, policy=pol)
     assert got == ref
+
+
+def test_concat_noise_in_kernel_cpu_fallback():
+    """amp_noise_in_kernel on a CPU backend must leave the concat trial
+    paths on the XLA noise draw (no interpreter PRNG): counters equal the
+    flag-off run bitwise on every route (monolithic + staged)."""
+    from sparc_ldpc_tpu.config import ConcatConfig, LdpcConfig
+    from sparc_ldpc_tpu.models.concat import ConcatModel
+
+    base = ConcatConfig(
+        sparc=SparcConfig(L=64, M=64, R=1.0, op_kind="hadamard",
+                          amp_iters=8, amp_tol=0.0,
+                          amp_kernel="fused_split",
+                          transform_precision="bf16"),
+        ldpc=LdpcConfig(kind="array", z=13, rows_b=3, cols_b=12,
+                        bp_iters=12, engine="qc", schedule="layered"),
+        f_prot=0.5, feedback_iters=3)
+    tk = rngu.trial_keys(rngu.base_key(21), 6)
+    keys = ("bit_errors", "frame_errors", "bp_ok")
+    outs = []
+    for flag in (False, True):
+        m = ConcatModel.build(base.replace(sparc=base.sparc.replace(
+            amp_noise_in_kernel=flag)), ebno_db=6.0)
+        assert not m._noise_in_kernel   # CPU backend
+        mono = {k: int(v) for k, v in jax.jit(m.run_block)(tk).items()
+                if k in keys}
+        staged = {k: int(v) for k, v in m.run_block_staged(tk).items()
+                  if k in keys}
+        assert mono == staged
+        outs.append(mono)
+    assert outs[0] == outs[1]
