@@ -471,7 +471,9 @@ def run_plot(presets):
         recs = load_records(preset)
         fig, ax = plt.subplots(figsize=(6, 4.2))
         for kind, fmt, label in (("oracle", "o-", "oracle (float64 CPU)"),
-                                 ("tpu", "s--", "TPU fused kernel")):
+                                 ("tpu", "s--", "TPU fused kernel"),
+                                 ("control_f32xla", "^:",
+                                  "TPU control (f32 XLA)")):
             pts = sorted(
                 {r["ebno_db"]: r for r in recs if r["kind"] == kind}.items())
             if not pts:
