@@ -100,6 +100,16 @@ def main():
         f"tau2_final={float(out['tau2_final']):.4f} "
         f"(sigma2={model.sigma2:.4f})")
 
+    # in-kernel-noise regression guard (round-4 VERDICT weak #3): the CPU
+    # suite can only exercise the fallback stream, so the bench — the one
+    # command the driver always runs on-chip — asserts per-seed
+    # determinism of the pltpu PRNG route (same keys -> bitwise-identical
+    # counters).  Full statistics: scripts/noise_tpu_smoke.py --check.
+    be0 = int(out["bit_errors"])
+    assert int(run(tkeys)["bit_errors"]) == be0, \
+        "in-kernel noise route is not deterministic per seed"
+    log(f"noise determinism: OK (bit_errors={be0} twice)")
+
     # steady-state timing: fresh key block per rep (no caching effects) and
     # a forced scalar host readback per rep (block_until_ready alone has
     # been observed unreliable through the axon relay — docs/PERF.md).

@@ -6,9 +6,22 @@ Checks, on the real chip:
      P + sigma2 across codewords for BOTH noise routes — the variance
      and power scaling of the kernel-drawn AWGN is right;
   3. per-codeword seeds give distinct draws (tau2_0 varies across the
-     batch) and are deterministic (same keys -> same counters twice).
+     batch) and are deterministic (same keys -> same counters twice);
+  4. pure-DP shard_map composition matches the unsharded route bitwise;
+  5. the concat seed plumbing: monolithic == staged bitwise, and the
+     in-kernel stream decodes a decisive point identically to XLA noise.
+
+--check (round-4 VERDICT weak #3): same checks, but the outcome is
+persisted to results/noise_check.json with provenance (commit, device),
+ok:false on ANY failure — the one-command on-chip regression gate for
+the in-kernel noise path.  The 170-test CPU suite can only exercise the
+fallback route (the Pallas interpreter has no PRNG lowering), so this
+is what re-validates the stream after a kernel edit.
 """
 
+import argparse
+import json
+import os
 import sys
 import time
 
@@ -23,7 +36,7 @@ from sparc_ldpc_tpu.models.sparc import SparcModel
 from sparc_ldpc_tpu.utils import rng as rngu
 
 
-def main():
+def run_checks():
     base = dict(L=256, M=512, R=1.0, op_kind="hadamard", amp_iters=8,
                 amp_tol=0.0, transform_precision="bf16",
                 amp_kernel="fused_split", power_alloc="iterative")
@@ -122,6 +135,36 @@ def main():
     assert outs[True]["bit_errors"] == outs[False]["bit_errors"] == 0, outs
     assert outs[True]["bp_ok"] == outs[False]["bp_ok"] == 64 * cm.num_cw
     print("smoke OK", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="persist the verdict to results/noise_check.json "
+                         "(provenance-stamped on-chip regression gate)")
+    args = ap.parse_args()
+    err = None
+    t0 = time.time()
+    try:
+        run_checks()
+    except BaseException as e:           # also record SIGINT'd runs
+        err = repr(e)
+        raise
+    finally:
+        if args.check:
+            from sparc_ldpc_tpu.utils.provenance import git_commit
+
+            rec = dict(ok=err is None, error=err,
+                       wall_s=round(time.time() - t0, 1),
+                       backend=jax.default_backend(),
+                       device=str(jax.devices()[0]),
+                       commit=git_commit(), ts=time.time())
+            path = os.path.join(os.path.dirname(__file__), "..",
+                                "results", "noise_check.json")
+            with open(path, "w") as f:
+                json.dump(rec, f, sort_keys=True)
+            print(f"noise-check verdict -> {os.path.abspath(path)}: "
+                  f"{'OK' if rec['ok'] else 'FAIL'}", flush=True)
 
 
 if __name__ == "__main__":

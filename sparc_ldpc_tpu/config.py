@@ -113,14 +113,18 @@ class SparcConfig:
     # trial path is the embedded channel noise (measured 14.7% of
     # headline block wall — scripts/noise_probe.py).  When True, the
     # kernel draws the masked AWGN itself (pltpu per-core PRNG seeded
-    # per codeword from the trial key + Box-Muller;
-    # ops/amp_kernel.boxmuller_f32).  Distribution-identical to the
-    # jax.random stream but DIFFERENT draws, so cross-route counters are
-    # only statistically (not bitwise) comparable — hence opt-in, used
-    # by bench.py and validated by a TPU BER A/B (docs/PERF.md round 4).
-    # Requires amp_encode_in_kernel + the split form + a real TPU (the
-    # Pallas interpreter has no PRNG lowering; CPU backends fall back to
-    # the XLA noise path).
+    # per codeword from the trial key + both-output Box-Muller;
+    # ops/amp_kernel.boxmuller_pair_f32 — the single-output variant
+    # measured net zero).  Distribution-identical to the jax.random
+    # stream but DIFFERENT draws, so cross-route counters are only
+    # statistically (not bitwise) comparable.  Since round 5 the fused
+    # shipped presets (fast_l4096, concat family) opt IN: the stream is
+    # anchored against the float64 oracle by CI-enforced parity legs
+    # (kind="tpu_noisek" for plain_small/pa_l1024 fused variants; the
+    # concat/fast_l4096 kind="tpu" legs ride it directly —
+    # tests/test_ber_parity.py).  Requires amp_encode_in_kernel + the
+    # split form + a real TPU (the Pallas interpreter has no PRNG
+    # lowering; CPU backends fall back to the XLA noise path).
     amp_noise_in_kernel: bool = False
     # SE-derived per-point iteration budget (SURVEY.md §7 hard-part 4,
     # round-1 VERDICT item 8): when True, SparcModel.build shrinks
@@ -322,9 +326,16 @@ PRESETS = {
     # 3. fast-transform SPARC, L=4096 (matrix-free operator stress config)
     # large-L perf config rides the fused split kernel (VPU-outer stage;
     # 8.2 Mbit/s vs ~2.5 ms per codeword-iteration on the XLA path)
+    # amp_noise_in_kernel (round 5): the fused presets ship the in-kernel
+    # AWGN stream the headline bench runs (+4.4% headline, +2.2% L=4096,
+    # +1.5% concat) — oracle-anchored by the round-5 parity legs.
+    # plain_small/pa_l1024 ship the XLA kernel route where the flag
+    # cannot engage; their fused_split variants are anchored by the
+    # kind="tpu_noisek" parity legs instead.
     "fast_l4096": SparcConfig(L=4096, M=512, R=1.5, power_alloc="iterative",
                               op_kind="hadamard", amp_kernel="fused",
-                              amp_tol=1e-4, transform_precision="bf16"),
+                              amp_tol=1e-4, transform_precision="bf16",
+                              amp_noise_in_kernel=True),
     # 4. concatenated SPARC+LDPC (see ConcatConfig defaults).  BOTH AMP
     # passes ride the fused split kernel since round 2: the pinned
     # decision-feedback pass uses the kernel's pin tensor (App. A.7 step 5),
@@ -336,7 +347,8 @@ PRESETS = {
         # /3 dB with identical frame/bp counters (mean 23.5 iters vs 32).
         sparc=SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                           op_kind="hadamard", amp_kernel="fused_split",
-                          amp_tol=1e-4, transform_precision="bf16"),
+                          amp_tol=1e-4, transform_precision="bf16",
+                          amp_noise_in_kernel=True),
         # QC engine + row-layered schedule at half the iteration budget:
         # layered@32 matches/beats flooding@64 decode quality (scripts/
         # bp_bench.py A/B, docs/PERF.md) at half the BP compute.
@@ -351,7 +363,8 @@ PRESETS = {
     "concat_wifi": ConcatConfig(
         sparc=SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                           op_kind="hadamard", amp_kernel="fused_split",
-                          amp_tol=1e-4, transform_precision="bf16"),
+                          amp_tol=1e-4, transform_precision="bf16",
+                          amp_noise_in_kernel=True),
         ldpc=LdpcConfig(kind="qc", path="wifi_n648_r12", engine="qc",
                         schedule="layered", bp_iters=32),
         f_prot=0.28,
@@ -362,7 +375,8 @@ PRESETS = {
     "concat_r56": ConcatConfig(
         sparc=SparcConfig(L=1024, M=512, R=1.0, power_alloc="iterative",
                           op_kind="hadamard", amp_kernel="fused_split",
-                          amp_tol=1e-4, transform_precision="bf16"),
+                          amp_tol=1e-4, transform_precision="bf16",
+                          amp_noise_in_kernel=True),
         ldpc=LdpcConfig(kind="qc", path="qc_n648_r56", engine="qc",
                         schedule="layered", bp_iters=32),
         f_prot=0.28,

@@ -26,18 +26,41 @@ def config_hash(cfg: object) -> str:
 # such fields, an artifact hashed before the field existed still
 # describes the current preset as long as the preset holds the default —
 # config_hashes() therefore also yields the legacy fingerprint with the
-# default-valued field elided from the repr.
-_DEFAULT_PRESERVING = ("amp_noise_in_kernel=False, ",)
+# default-valued field elided.  The legacy repr is REBUILT from the
+# dataclass fields (round-4 ADVICE: a literal repr-fragment replace
+# silently stopped matching on field reordering or a trailing field),
+# so it stays correct under any repr layout the dataclass machinery
+# produces.
+_DEFAULT_PRESERVING = ("amp_noise_in_kernel",)
+
+
+def _repr_without_default_fields(cfg: object, skip: tuple) -> str:
+    """Dataclass repr with `skip` fields elided wherever they hold their
+    declared default (recursing into nested dataclass fields).  Matches
+    the stock dataclass repr format exactly for all other fields."""
+    import dataclasses
+
+    if not dataclasses.is_dataclass(cfg):
+        return repr(cfg)
+    parts = []
+    for f in dataclasses.fields(cfg):
+        if not f.repr:
+            continue
+        v = getattr(cfg, f.name)
+        if f.name in skip and v == f.default:
+            continue
+        vr = (_repr_without_default_fields(v, skip)
+              if dataclasses.is_dataclass(v) else repr(v))
+        parts.append(f"{f.name}={vr}")
+    return f"{type(cfg).__name__}({', '.join(parts)})"
 
 
 def config_hashes(cfg: object) -> set:
     """Current fingerprint plus legacy fingerprints of reprs that predate
     default-preserving fields (see _DEFAULT_PRESERVING)."""
-    r = repr(cfg)
-    out = {hashlib.sha1(r.encode()).hexdigest()[:12]}
-    for frag in _DEFAULT_PRESERVING:
-        r2 = r.replace(frag, "")
-        out.add(hashlib.sha1(r2.encode()).hexdigest()[:12])
+    out = {config_hash(cfg)}
+    legacy = _repr_without_default_fields(cfg, _DEFAULT_PRESERVING)
+    out.add(hashlib.sha1(legacy.encode()).hexdigest()[:12])
     return out
 
 

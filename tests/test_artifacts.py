@@ -19,12 +19,15 @@ from sparc_ldpc_tpu.utils.provenance import config_hashes
 RESULTS = os.path.join(os.path.dirname(__file__), "..", "results")
 
 # artifact file -> (preset name, min points, min frame errors per point)
+# (the fused presets ship amp_noise_in_kernel=True since round 5, so
+# their sweeps regenerated as *_r5; pa_l1024 ships the XLA route and its
+# r3 sweep still describes it)
 SWEEPS = {
-    "concat_sweep_r3.jsonl": ("concat", 5, 100),
-    "concat_wifi_sweep.jsonl": ("concat_wifi", 5, 100),
-    "fast_l4096_sweep.jsonl": ("fast_l4096", 5, 100),
+    "concat_sweep_r5.jsonl": ("concat", 5, 100),
+    "concat_wifi_sweep_r5.jsonl": ("concat_wifi", 5, 100),
+    "fast_l4096_sweep_r5.jsonl": ("fast_l4096", 5, 100),
     "pa_l1024_sweep_r3.jsonl": ("pa_l1024", 7, 100),
-    "concat_r56_sweep.jsonl": ("concat_r56", 5, 100),
+    "concat_r56_sweep_r5.jsonl": ("concat_r56", 5, 100),
 }
 
 
@@ -101,7 +104,12 @@ def test_stale_artifacts_are_marked():
     match) or are listed in results/STALE.md as superseded."""
     stale_md = os.path.join(RESULTS, "STALE.md")
     legacy = ["concat_sweep.jsonl", "pa_l1024_sweep.jsonl",
-              "pa_l1024_sweep_fused.jsonl"]
+              "pa_l1024_sweep_fused.jsonl",
+              # round-3/4 sweeps of the fused presets, superseded by the
+              # round-5 regenerations on the shipped in-kernel noise
+              # stream (see results/STALE.md)
+              "concat_sweep_r3.jsonl", "concat_wifi_sweep.jsonl",
+              "concat_r56_sweep.jsonl", "fast_l4096_sweep.jsonl"]
     present = [f for f in legacy
                if os.path.exists(os.path.join(RESULTS, f))]
     if not present:

@@ -97,3 +97,51 @@ def test_two_process_section_sharded_collective_matches_single():
     single = json.loads(r.stdout.strip().splitlines()[-1])
 
     assert sharded == single
+
+
+@pytest.mark.slow
+def test_four_process_two_device_counters_match_single():
+    """4 processes x 2 local devices each (8-device global mesh), with the
+    section-sharded collective FWHT — process-count generality beyond the
+    2-process smoke (round-4 VERDICT weak #4): proc0-only writes, key-tree
+    folding, and the cross-process ppermute butterflies must all hold when
+    the process grid is neither 1 nor 2 and each process carries multiple
+    devices.  Counters must equal a single-process single-device run of
+    the same key tree."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "scripts", "multihost_worker.py")
+    port = _free_port()
+
+    def env_for(pid, nproc, devices, extra=None):
+        env = dict(os.environ)
+        env.update(SPARC_COORD=f"localhost:{port}", SPARC_NPROC=str(nproc),
+                   SPARC_PROC_ID=str(pid))
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        if devices > 1:
+            env["XLA_FLAGS"] = (
+                f"--xla_force_host_platform_device_count={devices}")
+        else:
+            env.pop("XLA_FLAGS", None)
+        env.update(extra or {})
+        return env
+
+    extra = {"SPARC_SECTION_SHARDS": "2", "SPARC_FWHT_DIST": "collective"}
+    procs = [subprocess.Popen([sys.executable, worker],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, env=env_for(pid, 4, 2, extra))
+             for pid in range(4)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{se[-2000:]}"
+    sharded = json.loads(outs[0][0].strip().splitlines()[-1])
+
+    port2 = _free_port()
+    env = env_for(0, 1, 1)
+    env["SPARC_COORD"] = f"localhost:{port2}"
+    r = subprocess.run([sys.executable, worker], capture_output=True,
+                       text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    single = json.loads(r.stdout.strip().splitlines()[-1])
+
+    assert sharded == single

@@ -297,13 +297,24 @@ def test_campaign_truthful_iters_and_throughput(tmp_path):
     assert 0 < rec["mean_iters"] < cfg.amp_iters, rec["mean_iters"]
     assert rec["preset"] == "unit"
     assert rec["bit_errors_sq"] >= 0
-    assert rec["blocks"] == 2 and rec["bits_per_s"] is not None
+    # pipelined dispatch (round 5): the budget check lags by the one
+    # in-flight block, so the 16-trial cap is met after harvesting block
+    # 1 while block 2 is already submitted -> 3 blocks, and the
+    # compile-free steady measurement exists
+    assert rec["blocks"] == 3 and rec["bits_per_s"] is not None
 
-    # single-block point: the only timing datum includes compile -> None
+    # single-block point: the only timing datum includes compile -> None.
+    # Only the synchronous (pipelined=False) mode can produce a 1-block
+    # point; the pipelined driver always over-dispatches one block.
     ccfg1 = ccfg.replace(max_trials=8)
     rec1 = run_campaign(lambda e: model, ccfg1, lambda m: m.cfg.k_bits,
-                        verbose=False)[0]
+                        verbose=False, pipelined=False)[0]
     assert rec1["blocks"] == 1 and rec1["bits_per_s"] is None
+    # the pipelined driver on the same point: one over-dispatched block,
+    # journaled and counted
+    rec1p = run_campaign(lambda e: model, ccfg1, lambda m: m.cfg.k_bits,
+                         verbose=False)[0]
+    assert rec1p["blocks"] == 2 and rec1p["trials"] == 16
 
     # fully journal-replayed point: counters reproduced, throughput None
     journal = str(tmp_path / "j.jsonl")
@@ -319,9 +330,15 @@ def test_campaign_truthful_iters_and_throughput(tmp_path):
 def test_run_point_respects_budget():
     model = SparcModel.build(CFG, ebno_db=8.0)  # high SNR: no errors
     pkey = rngu.point_key(rngu.base_key(0), 0)
+    # synchronous mode: the cap binds exactly
+    tot = run_point(model.run_block, pkey, batch=8, min_frame_errors=1,
+                    max_trials=16, pipelined=False)
+    assert tot["trials"] == 16  # hit the cap, not the error budget
+    # pipelined mode: the lagged budget check over-dispatches exactly the
+    # one in-flight block past the cap — deterministic, journal-visible
     tot = run_point(model.run_block, pkey, batch=8, min_frame_errors=1,
                     max_trials=16)
-    assert tot["trials"] == 16  # hit the cap, not the error budget
+    assert tot["trials"] == 24 and tot["blocks"] == 3
 
 
 def test_sparc_sweep_shared_compile_matches_per_point():
