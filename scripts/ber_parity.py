@@ -562,6 +562,8 @@ def run_plot(presets):
         fig, ax = plt.subplots(figsize=(6, 4.2))
         for kind, fmt, label in (("oracle", "o-", "oracle (float64 CPU)"),
                                  ("tpu", "s--", "TPU fused kernel"),
+                                 ("tpu_noisek", "d-.",
+                                  "TPU fused + in-kernel noise"),
                                  ("control_f32xla", "^:",
                                   "TPU control (f32 XLA)")):
             pts = sorted(
