@@ -30,7 +30,7 @@ from sparc_ldpc_tpu.utils import rng as rngu
 def main():
     preset = sys.argv[1] if len(sys.argv) > 1 else "concat_small"
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 10240
-    batch = 512
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     cfg = CONCAT_PRESETS[preset]
     cfg = replace(cfg, sparc=replace(
         cfg.sparc, amp_kernel="xla", amp_tol=0.0,

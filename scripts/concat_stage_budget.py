@@ -40,18 +40,36 @@ def fence(x):
     np.asarray(jax.device_get(x))
 
 
-def measure_rt(probe, reps=5):
-    """Median host<->device round-trip on a tiny resident array."""
+import jax.numpy as jnp
+
+_tiny = None
+
+
+def measure_rt(reps=5):
+    """Median dispatch+readback round-trip on a FRESH tiny computation
+    (device_get of an already-fetched array is cached and reads ~0)."""
+    global _tiny
+    if _tiny is None:
+        _tiny = jax.jit(lambda x: x + 1)
+        fence(_tiny(jnp.float32(0)))
     ts = []
-    for _ in range(reps):
+    for r in range(reps):
         t0 = time.perf_counter()
-        fence(probe)
+        fence(_tiny(jnp.float32(r)))
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2]
 
 
 def time_stage(fn, inputs, pick, rt):
-    """R back-to-back async dispatches + one fence; returns s/call."""
+    """R back-to-back async dispatches + one fence; returns s/call.
+
+    The program is re-warmed IMMEDIATELY before timing (one run + fence):
+    without it, a program that was warmed early and then displaced by
+    other programs' dispatches pays a constant ~100 ms/call re-load
+    through the relay, which read as a bogus B-independent 97-100 ms for
+    the s2a/s2b sub-stages on the first cut of this script."""
+    w = fn(*inputs[0])
+    fence(pick(w))
     outs = []
     t0 = time.perf_counter()
     for a in inputs:
@@ -86,7 +104,7 @@ def main():
         out = s3(o[1], cw, ok, o[0], o[3], o[4])
         fence(out["bit_errors"])
         compile_s = time.perf_counter() - t0
-        rt = measure_rt(out["bit_errors"])
+        rt = measure_rt()
         print(f"\nB={B}: compile+first {compile_s:.1f}s  relay RT "
               f"{rt*1e3:.1f} ms  (num_cw={m.num_cw}, "
               f"noise_in_kernel={m._noise_in_kernel})", flush=True)
