@@ -113,14 +113,27 @@ def main():
     # steady-state timing: fresh key block per rep (no caching effects) and
     # a forced scalar host readback per rep (block_until_ready alone has
     # been observed unreliable through the axon relay — docs/PERF.md).
+    # PIPELINED dispatch (round 5): rep r+1 is submitted before rep r's
+    # counters are read back — the execution pattern the shipped campaign
+    # driver uses (parallel/campaign.py double-buffering), which overlaps
+    # the ~25 ms relay round-trip with device execution (+9.8% measured,
+    # scripts/pipeline_ab.py; counters identical to sequential dispatch).
     reps = 5
     times = []
+    pend = None
+    t0 = time.perf_counter()
     for r in range(1, reps + 1):
         keys = rngu.trial_keys(rngu.base_key(r), B)
-        t0 = time.perf_counter()
-        out = run(keys)
-        _ = int(out["bit_errors"])
-        times.append(time.perf_counter() - t0)
+        nxt = run(keys)
+        if pend is not None:
+            _ = int(pend["bit_errors"])
+            now = time.perf_counter()
+            times.append(now - t0)
+            t0 = now
+        pend = nxt
+    _ = int(pend["bit_errors"])
+    now = time.perf_counter()
+    times.append(now - t0)
     times.sort()
     dt = times[len(times) // 2]
     tpu_bits_per_s = B * cfg.k_bits / dt

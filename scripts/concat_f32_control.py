@@ -32,9 +32,13 @@ def main():
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 10240
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     cfg = CONCAT_PRESETS[preset]
+    # engine="qc_xla": pin the XLA BP implementation — the control's
+    # contract is "no Pallas anywhere", and since round 5 engine="qc"
+    # layered auto-routes to the Pallas BP kernel on TPU backends
     cfg = replace(cfg, sparc=replace(
         cfg.sparc, amp_kernel="xla", amp_tol=0.0,
-        transform_precision="highest"))
+        transform_precision="highest"),
+        ldpc=replace(cfg.ldpc, engine="qc_xla"))
     n_blocks = (trials + batch - 1) // batch
     for pi, ebno in enumerate(GRIDS[preset]):
         model = ConcatModel.build(cfg, ebno_db=ebno)

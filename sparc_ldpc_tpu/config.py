@@ -228,10 +228,16 @@ class LdpcConfig:
       bp_iters: max flooding iterations.
       llr_clip: LLR clipping bound for f32 stability.
       engine: BP message layout — "edge" (padded-dense adjacency, any H;
-        ops.bp), "qc" (circulant (B,J,K,Z) tensors + static Z-gathers,
-        QC codes only; ops.bp_qc), or "auto" (qc when the code is
-        quasi-cyclic).  Flooding messages are engine-identical
-        (parity-tested); pick per config from on-chip A/B (docs/PERF.md).
+        ops.bp), "qc" (circulant (B,J,K,Z) tensors, QC codes only), or
+        "auto" (qc when the code is quasi-cyclic).  Flooding messages
+        are engine-identical (parity-tested); pick per config from
+        on-chip A/B (docs/PERF.md).  Since round 5, "qc" layered
+        minsum/oms decodes on TPU backends route to the whole-decode-
+        in-VMEM Pallas kernel (ops/bp_qc_pallas.py: static rolls
+        instead of gathers, trace-time block sparsity) — an
+        implementation detail, valid because its outputs are BITWISE
+        equal to the XLA graph (tests/test_ldpc_qc.py asserts it);
+        "qc_xla" pins the XLA implementation for A/B and fallback.
       schedule: "flooding" or "layered" (row-layered MPA, ~2x fewer
         iterations; requires the qc engine).
     """
@@ -258,7 +264,7 @@ class LdpcConfig:
             raise ValueError(f"unknown ldpc kind {self.kind!r}")
         if self.decoder not in ("minsum", "oms", "spa"):
             raise ValueError(f"unknown decoder {self.decoder!r}")
-        if self.engine not in ("edge", "qc", "auto"):
+        if self.engine not in ("edge", "qc", "qc_xla", "auto"):
             raise ValueError(f"unknown bp engine {self.engine!r}")
         if self.schedule not in ("flooding", "layered"):
             raise ValueError(f"unknown bp schedule {self.schedule!r}")

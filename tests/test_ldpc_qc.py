@@ -195,3 +195,72 @@ def test_qc_base_file_roundtrip(tmp_path, rng):
     res = lm.decode(jnp.asarray(2.0 * y / 0.25, dtype=jnp.float32))
     assert np.all(np.asarray(res.ok))
     np.testing.assert_array_equal(np.asarray(res.hard), cw)
+
+
+# ---------------------------------------------------------------- pallas
+
+def _pallas_vs_xla(cfg, rng, B=6, sigma=0.55, method="minsum", iters=12):
+    from sparc_ldpc_tpu.ops.bp_qc_pallas import bp_decode_qc_pallas
+
+    code, cw, llr = _noisy_llrs(cfg, rng, B=B, sigma=sigma)
+    shifts, Z = qc_structure(cfg)
+    t = QcBpTables.build(shifts, Z)
+    xla = bp_decode_qc(llr, t, iters=iters, method=method,
+                       schedule="layered", alpha=cfg.alpha, beta=cfg.beta,
+                       clip=cfg.llr_clip)
+    shifts_t = tuple(tuple(int(s) for s in row) for row in shifts)
+    pls = bp_decode_qc_pallas(llr, shifts_t, Z, iters=iters, method=method,
+                              alpha=cfg.alpha, beta=cfg.beta,
+                              clip=cfg.llr_clip, interpret=True)
+    return xla, pls
+
+
+@pytest.mark.parametrize("method", ["minsum", "oms"])
+def test_pallas_layered_bitwise_vs_xla_engine(method, rng):
+    """The whole-decode-in-VMEM Pallas kernel (ops/bp_qc_pallas.py) must
+    be BITWISE equal to the XLA layered qc engine — hard decisions, ok
+    flags, per-codeword iteration counts, AND f32 posteriors.  This
+    equality is what licenses models/ldpc.py to auto-route engine="qc"
+    layered decodes to the kernel on TPU backends without changing any
+    artifact's meaning (min/compare/mul arithmetic only; the kernel's
+    sequential two-min recurrence equals the argmin/one-hot exclusive
+    min for every tie pattern)."""
+    xla, pls = _pallas_vs_xla(LCFG, rng, method=method)
+    np.testing.assert_array_equal(np.asarray(pls.hard),
+                                  np.asarray(xla.hard))
+    np.testing.assert_array_equal(np.asarray(pls.ok), np.asarray(xla.ok))
+    np.testing.assert_array_equal(np.asarray(pls.iters),
+                                  np.asarray(xla.iters))
+    np.testing.assert_array_equal(np.asarray(pls.posterior),
+                                  np.asarray(xla.posterior))
+
+
+def test_pallas_layered_bitwise_wifi_code(rng):
+    """Same bitwise contract on the 802.11n n=648 r1/2 base matrix —
+    J=12 with ~70% inactive blocks, the trace-time-sparsity case (and
+    the shipped concat_wifi outer code)."""
+    cfg = LdpcConfig(kind="qc", path="wifi_n648_r12", engine="qc",
+                     schedule="layered", bp_iters=16)
+    xla, pls = _pallas_vs_xla(cfg, rng, B=4, sigma=0.7, iters=10)
+    np.testing.assert_array_equal(np.asarray(pls.hard),
+                                  np.asarray(xla.hard))
+    np.testing.assert_array_equal(np.asarray(pls.ok), np.asarray(xla.ok))
+    np.testing.assert_array_equal(np.asarray(pls.iters),
+                                  np.asarray(xla.iters))
+    np.testing.assert_array_equal(np.asarray(pls.posterior),
+                                  np.asarray(xla.posterior))
+
+
+def test_pallas_layered_decodes_clean(rng):
+    """Decode success end-to-end on the kernel route (interpret mode):
+    noisy codewords of the rate-5/6 n=648 code all converge and match."""
+    from sparc_ldpc_tpu.ops.bp_qc_pallas import bp_decode_qc_pallas
+
+    cfg = LdpcConfig(kind="qc", path="qc_n648_r56", engine="qc",
+                     schedule="layered")
+    code, cw, llr = _noisy_llrs(cfg, rng, B=4, sigma=0.4)
+    shifts, Z = qc_structure(cfg)
+    shifts_t = tuple(tuple(int(s) for s in row) for row in shifts)
+    res = bp_decode_qc_pallas(llr, shifts_t, Z, iters=24, interpret=True)
+    assert np.all(np.asarray(res.ok))
+    np.testing.assert_array_equal(np.asarray(res.hard), cw)
