@@ -118,10 +118,11 @@ GRIDS = {
     # waterfall HEAD, where FER~1 makes a few hundred oracle trials a
     # tight BER measurement (~300k bit errors at 5.0 dB) — round-3
     # VERDICT missing #2.  Round 5 extended the head to 6.0 dB (FER
-    # 0.996 per the r5 sweep; ~26 clustered bit errors/frame).  The
-    # >=6.5 dB tail stays oracle-infeasible on this 2-core host
-    # (FER 0.57 -> 100-frame-error budgets of >=2h/point).
-    "fast_l4096": [5.0, 5.5, 6.0],
+    # 0.996 per the r5 sweep; ~26 clustered bit errors/frame) and then
+    # into the former "SE-only tail": 6.5 dB (FER 0.605, ~180 frame
+    # errors at 300 trials) became affordable once the host went idle
+    # (~15 s/trial x 300 / 2 workers ~ 38 min).
+    "fast_l4096": [5.0, 5.5, 6.0, 6.5],
 }
 # Oracle-leg trial floors enforced by tests/test_ber_parity.py (round-3
 # VERDICT weak #1/#6: thin oracle legs must not silently slip into a
