@@ -121,8 +121,12 @@ GRIDS = {
     # 0.996 per the r5 sweep; ~26 clustered bit errors/frame) and then
     # into the former "SE-only tail": 6.5 dB (FER 0.605, ~180 frame
     # errors at 300 trials) became affordable once the host went idle
-    # (~15 s/trial x 300 / 2 workers ~ 38 min).
-    "fast_l4096": [5.0, 5.5, 6.0, 6.5],
+    # (measured ~8 s/trial — the r3 15 s estimate carried host load),
+    # and 7.0 dB (FER 0.117; 1000 trials -> ~120 clustered frame
+    # errors) closed the LAST sweep point: the entire shipped
+    # fast_l4096 grid is now directly float64-anchored and no
+    # SE-only tail claim remains.
+    "fast_l4096": [5.0, 5.5, 6.0, 6.5, 7.0],
 }
 # Oracle-leg trial floors enforced by tests/test_ber_parity.py (round-3
 # VERDICT weak #1/#6: thin oracle legs must not silently slip into a
