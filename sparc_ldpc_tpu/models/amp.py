@@ -55,6 +55,8 @@ def amp_decode(
     tau2_schedule: Optional[jax.Array] = None,   # (T,) SE schedule
     pinned_onehot: Optional[jax.Array] = None,   # (B, L, M) one-hot targets
     pinned_mask: Optional[jax.Array] = None,     # (B, L) bool
+    pinned_idx: Optional[jax.Array] = None,      # (B, L) int32 pin targets
+                                                 # (alternative to onehot)
     use_pallas_denoiser: bool = False,
     policy=None,                                 # parallel.mesh.ShardingPolicy
     residual_space: str = "n",
@@ -105,10 +107,15 @@ def amp_decode(
         else:
             y_n = None          # the kernel synthesizes the masked AWGN
         mask2d = op.mask.reshape(L, M)
-        pin_val = None
+        # pin targets travel as (B, L) int32 indices (-1 = unpinned); the
+        # kernels synthesize the sq*one_hot rows in VMEM (round 5: drops
+        # the (B, L, M) f32 pin materialization + HBM stream, bitwise-
+        # identical because pinned rows hold exactly the resident sqo).
+        pin_idx = None
         if pinned_mask is not None:
-            pin_val = jnp.where(pinned_mask[:, :, None],
-                                sq_npl[None, :, None] * pinned_onehot, 0.0)
+            src = (pinned_idx if pinned_idx is not None
+                   else jnp.argmax(pinned_onehot, axis=-1))
+            pin_idx = jnp.where(pinned_mask, src, -1).astype(jnp.int32)
         iters = jnp.full((B,), T, dtype=jnp.int32)
         # every kernel form (mono/split/slab) and the sharded composition
         # honor the in-kernel / masked per-codeword early stop (round-2
@@ -119,7 +126,7 @@ def amp_decode(
                             interpret=fused_interpret,
                             split=fused_split, form=fused_form,
                             tau2_schedule=tau2_schedule,
-                            pin_val=pin_val, tol=k_tol,
+                            pin_idx=pin_idx, tol=k_tol,
                             encode_idx=encode_idx,
                             noise_seed=noise_seed,
                             noise_sigma=noise_sigma)
@@ -137,7 +144,7 @@ def amp_decode(
             from ..parallel.amp_sharded import amp_fused_sharded
             beta3, trace, iters = amp_fused_sharded(
                 y_n, mask2d, sq_npl, P, n, T, policy,
-                tau2_schedule=tau2_schedule, pin_val=pin_val,
+                tau2_schedule=tau2_schedule, pin_idx=pin_idx,
                 interpret=fused_interpret, fused_split=fused_split,
                 tol=k_tol, encode_idx=encode_idx,
                 noise_seed=noise_seed, noise_sigma=noise_sigma)
@@ -156,8 +163,10 @@ def amp_decode(
     def apply_pin(beta3):
         if pinned_mask is None:
             return beta3
+        oh = (pinned_onehot if pinned_onehot is not None
+              else jax.nn.one_hot(pinned_idx, M, dtype=jnp.float32))
         m = pinned_mask[:, :, None]
-        return jnp.where(m, sq_npl[None, :, None] * pinned_onehot, beta3)
+        return jnp.where(m, sq_npl[None, :, None] * oh, beta3)
 
     # N-space residual path (BatchedOperator docstring): fast-transform
     # operators keep z in the length-N transform domain, which removes the

@@ -157,6 +157,7 @@ class ConcatModel:
         a_{l,j} = log p_{l,j} (any per-section shift cancels in the lse
         difference); llr_b = lse_{j: bit_b(j)=0} a - lse_{j: bit_b(j)=1} a.
         Returns (B, Lp*logM).
+
         """
         B = scores.shape[0]
         a = scores[:, self.Lu:, :]
@@ -196,7 +197,7 @@ class ConcatModel:
         decoded frames typically become error-free.
         """
         B = cw_hat.shape[0]
-        logM, M = self.cfg.sparc.logM, self.cfg.sparc.M
+        logM = self.cfg.sparc.logM
         prot_idx = bits_to_indices(cw_hat, logM)              # (B, Lp)
         bit_ok = jnp.repeat(ok, self.ldpc.n, axis=1)          # (B, Lp*logM)
         sec_ok = jnp.all(bit_ok.reshape(B, self.Lp, logM), axis=-1)
@@ -204,10 +205,12 @@ class ConcatModel:
             [jnp.zeros((B, self.Lu), bool), sec_ok], axis=1)
         full_idx = jnp.concatenate(
             [jnp.zeros((B, self.Lu), jnp.int32), prot_idx], axis=1)
-        pin_onehot = jax.nn.one_hot(full_idx, M, dtype=jnp.float32)
+        # pin targets travel as indices; the fused kernels synthesize the
+        # one-hot rows in VMEM and the XLA route builds them at apply_pin
+        # (round 5 — bitwise-identical, no (B, L, M) materialization here)
         res2 = self.sparc.decode(
             y, T=self.cfg.feedback_iters, sq_npl=sq_npl,
-            pinned_onehot=pin_onehot, pinned_mask=pin_mask,
+            pinned_idx=full_idx, pinned_mask=pin_mask,
             encode_idx=enc_idx, **(noise_kw or {}))
         unprot_idx = hard_indices(res2.beta)[:, : self.Lu]
         unprot_bits = indices_to_bits(unprot_idx, logM)

@@ -156,8 +156,9 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
     interpret-parity tests).
 
     Softmax row reductions span the m_a column blocks of a slab as
-    max/sum-of-partials; the pin-row indicator is the full-row pin sum
-    (matching the XLA path's post-denoise override, App. A.7 step 5).
+    max/sum-of-partials; pin rows are synthesized per slab from the pin
+    index ref (matching the XLA path's post-denoise override, App. A.7
+    step 5).
     """
     from jax.experimental import pallas as pl
 
@@ -260,9 +261,11 @@ def _amp_kernel_slab(T: int, n: int, P: float, inv_sqrt_n: float,
             e = jnp.exp(x)
             bnew = (sqoa / jnp.sum(e, axis=1, keepdims=True)) * e
             if has_pin:
-                pv = pin_ref[0, rs(a), :]
-                bnew = jnp.where(jnp.sum(pv, axis=1, keepdims=True) > 0.0,
-                                 pv, bnew)
+                # in-kernel pin synthesis (see _amp_kernel_split)
+                pidx = pin_ref[0, rs(a), :]               # (f_b, 1)
+                pc = jax.lax.broadcasted_iota(jnp.int32, (f_b, M), 1)
+                bnew = jnp.where(pidx >= 0,
+                                 jnp.where(pc == pidx, sqoa, 0.0), bnew)
             b_scr[rs(a), :] = bnew
             bnorm2_new += jnp.sum(bnew * bnew)
         trace_write(t, tau2)
@@ -304,13 +307,14 @@ def _unpack_refs(refs, n_in: int, has_sched: bool, has_pin: bool,
     """Split the positional pallas refs into (inputs, sched, pin, [enc,
     noise,] rest).
 
-    The optional SE tau2 schedule (SMEM (T,)), pin tensor (VMEM
-    (1, L, M); sq*one_hot on pinned rows, zeros elsewhere — App. A.7
-    step 5), encode index tensor (VMEM (1, L, 1) int32; in-kernel
-    codeword synthesis) and noise refs (SMEM (1, 2) uint32 per-codeword
-    PRNG seed + SMEM (1, 1) f32 sigma; in-kernel channel synthesis) are
-    appended to the input list only when present, so the unused cases
-    pay no HBM traffic.
+    The optional SE tau2 schedule (SMEM (T,)), pin index tensor (VMEM
+    (1, L, 1) int32; per-section pin targets, -1 = unpinned — the
+    kernels synthesize the App. A.7 step-5 sq*one_hot rows in-kernel
+    from the resident sqo constant), encode index tensor (VMEM (1, L, 1)
+    int32; in-kernel codeword synthesis) and noise refs (SMEM (1, 2)
+    uint32 per-codeword PRNG seed + SMEM (1, 1) f32 sigma; in-kernel
+    channel synthesis) are appended to the input list only when present,
+    so the unused cases pay no HBM traffic.
     """
     refs = list(refs)
     ins, refs = refs[:n_in], refs[n_in:]
@@ -469,12 +473,13 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
 
     def y_set(v):
         y_ref[0] = v
+    if has_enc or has_pin:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (L, M), 1)
     if has_enc:
         # In-kernel encode (see _amp_kernel_slab): y arrived holding the
         # masked channel noise; add maskf * H(sqo * one_hot(idx)) in
         # two hi/lo passes (_enc_amp_parts — the codeword is a spec
         # quantity).
-        cols = jax.lax.broadcasted_iota(jnp.int32, (L, M), 1)
         for part in _enc_amp_parts(sqo):
             b0 = jnp.where(cols == enc_ref[0], part, 0.0)
             y_set(mask * fwht_tile(b0) + y_get())
@@ -507,11 +512,12 @@ def _amp_kernel_split(T: int, n: int, P: float, inv_sqrt_n: float,
         e = jnp.exp(a)
         bnew = (sqo / jnp.sum(e, axis=1, keepdims=True)) * e
         if has_pin:
-            # pinned rows hold sq*one_hot (> 0 somewhere); row sum doubles
-            # as the mask, matching the XLA path's post-denoise override.
-            pv = pin_ref[0]
-            bnew = jnp.where(jnp.sum(pv, axis=1, keepdims=True) > 0.0,
-                             pv, bnew)
+            # pin rows synthesized from the (L, 1) index ref: sq*one_hot
+            # in beta*sqrt(n) scale IS sqo at the hit column — bitwise
+            # the round-4 pin-tensor semantics (idx -1 never matches).
+            pidx = pin_ref[0]
+            bnew = jnp.where(pidx >= 0,
+                             jnp.where(cols == pidx, sqo, 0.0), bnew)
         b_scr[:] = bnew
         trace_write(t, tau2)
         return tau2
@@ -561,7 +567,7 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
     support scaled to mask/n (scale-free scheme); hl (L, L), hm (M, M)
     Hadamard factors; sqi/sqo (L, 1) pre-scaled sqrt(n P_l) constants
     (x inv_sqrt_n / x sqrt(n)); optional SE tau2 schedule (SMEM (T,))
-    and pin tensor (1, L, M) in beta*sqrt(n) scale.
+    and pin index tensor (1, L, 1) int32 (-1 = unpinned).
     Outputs: beta (1, L, M) true scale; trace (1, 8, 128) tau2 trace.
     Scratch: z (L, M) N-space residual (true scale), b (L, M) beta
     state x sqrt(n), both f32.
@@ -584,10 +590,11 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
     # fold the loop-invariant mask*y into the aliased y block once
     # (mask carries mask/n, so select on sign instead of multiplying)
     y_ref[0] = jnp.where(mask > 0.0, y_ref[0], 0.0)
+    if has_enc or has_pin:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (L, M), 1)
     if has_enc:
         # In-kernel encode (see _amp_kernel_slab); two hi/lo passes —
         # the codeword is a spec quantity (_enc_amp_parts)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (L, M), 1)
         for part in _enc_amp_parts(sqo):
             b0 = jnp.where(cols == enc_ref[0], part, 0.0)
             y_ref[0] = (mask * _mm(hl_ref[:], _mm(b0, hm_ref[:]))
@@ -625,9 +632,10 @@ def _amp_kernel(T: int, n: int, P: float, inv_sqrt_n: float,
         e = jnp.exp(a)
         bnew = (sqo / jnp.sum(e, axis=1, keepdims=True)) * e
         if has_pin:
-            pv = pin_ref[0]
-            bnew = jnp.where(jnp.sum(pv, axis=1, keepdims=True) > 0.0,
-                             pv, bnew)
+            # in-kernel pin synthesis (see _amp_kernel_split)
+            pidx = pin_ref[0]
+            bnew = jnp.where(pidx >= 0,
+                             jnp.where(cols == pidx, sqo, 0.0), bnew)
         b_scr[:] = bnew
         trace_write(t, tau2)
         return tau2
@@ -760,7 +768,7 @@ def amp_fused(y_n: jax.Array | None,   # (B, L, M) N-space embedded y
               f_b: int = 128,
               m_b: int = 0,
               tau2_schedule: jax.Array | None = None,   # (T,) SE schedule
-              pin_val: jax.Array | None = None,         # (B, L, M)
+              pin_idx: jax.Array | None = None,         # (B, L) int32, -1=off
               form: str | None = None,   # None=auto | "slab"|"split"|"mono"
               tol: float = 0.0,          # per-codeword early stop (split)
               encode_idx: jax.Array | None = None,   # (B, L) int32
@@ -771,9 +779,15 @@ def amp_fused(y_n: jax.Array | None,   # (B, L, M) N-space embedded y
     plus iters (B,) as a third element when tol > 0.
 
     tau2_schedule replaces the online ||z||^2/n estimate with a
-    state-evolution schedule (SMEM constant).  pin_val implements the
-    decision-feedback pinning of App. A.7 step 5: rows holding sq*one_hot
-    are overridden after every denoise, zero rows pass through.
+    state-evolution schedule (SMEM constant).  pin_idx implements the
+    decision-feedback pinning of App. A.7 step 5 from per-section INDICES
+    (-1 = unpinned): rows with idx >= 0 are overridden with sq*one_hot(idx)
+    after every denoise, synthesized in-kernel by an iota-compare against
+    the sqo constant already in VMEM.  Bitwise-identical to the round-4
+    (B, L, M) f32 pin-tensor input (pinned rows held exactly sqo), but the
+    XLA-side one-hot materialization and the per-codeword HBM pin stream
+    (~2 GB/feedback block at the shipped concat shapes) disappear — the
+    kernel reads a (B, L) int32 instead (round 5, docs/PERF.md).
     tol > 0 enables the in-kernel per-codeword early stop (XLA-scan freeze
     semantics) on EVERY kernel form — mono, split, and slab: each grid
     program is one codeword, so the `lax.cond` skip saves real wall time,
@@ -813,15 +827,16 @@ def amp_fused(y_n: jax.Array | None,   # (B, L, M) N-space embedded y
     assert tol == 0.0 or T <= 1023, "early stop rides trace slot T"
     inv_sqrt_n = 1.0 / math.sqrt(n)
     has_sched = tau2_schedule is not None
-    has_pin = pin_val is not None
+    has_pin = pin_idx is not None
     extra_in, extra_specs = [], []
     if has_sched:
         extra_in.append(jnp.asarray(tau2_schedule, jnp.float32))
         extra_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     if has_pin:
-        # pinned rows live in the kernel's beta*sqrt(n) scale
-        extra_in.append(pin_val.astype(jnp.float32) * math.sqrt(n))
-        extra_specs.append(pl.BlockSpec((1, L, M), lambda b: (b, 0, 0),
+        # per-section pin indices (-1 = unpinned); the kernels synthesize
+        # the sq*one_hot rows in beta*sqrt(n) scale from the resident sqo
+        extra_in.append(pin_idx.reshape(B, L, 1).astype(jnp.int32))
+        extra_specs.append(pl.BlockSpec((1, L, 1), lambda b: (b, 0, 0),
                                         memory_space=pltpu.VMEM))
     has_enc = encode_idx is not None
     if has_enc:

@@ -55,7 +55,7 @@ def amp_fused_sharded(
     P_pow: float, n: int, T: int,
     policy,                          # parallel.mesh.ShardingPolicy
     tau2_schedule: Optional[jax.Array] = None,   # (T,)
-    pin_val: Optional[jax.Array] = None,         # (B, L, M)
+    pin_idx: Optional[jax.Array] = None,         # (B, L) int32, -1=off
     interpret: bool = False,
     fused_split: Optional[bool] = None,
     tol: float = 0.0,                # per-codeword early stop (amp_tol)
@@ -89,7 +89,7 @@ def amp_fused_sharded(
         M = mask.shape[1]
     inv_sqrt_n = 1.0 / math.sqrt(n)
     has_sched = tau2_schedule is not None
-    has_pin = pin_val is not None
+    has_pin = pin_idx is not None
     assert tol == 0.0 or not has_sched, \
         "a tau2 schedule has no online estimate to compare against"
     mask = mask.astype(jnp.float32)
@@ -118,7 +118,7 @@ def amp_fused_sharded(
             sig = a.pop(0) if has_noise else None
             out = amp_fused(y_loc, mask, sq_npl, P_pow, n, T,
                             interpret=interpret, split=fused_split,
-                            tau2_schedule=sched, pin_val=pin, tol=tol,
+                            tau2_schedule=sched, pin_idx=pin, tol=tol,
                             encode_idx=enc, noise_seed=seed,
                             noise_sigma=sig)
             Bd = (y_loc if not has_noise else seed).shape[0]
@@ -135,8 +135,8 @@ def amp_fused_sharded(
             in_specs.append(P())
             args.append(tau2_schedule)
         if has_pin:
-            in_specs.append(P(data_axis, None, None))
-            args.append(pin_val)
+            in_specs.append(P(data_axis, None))
+            args.append(pin_idx)
         if has_enc:
             in_specs.append(P(data_axis, None))
             args.append(encode_idx)
@@ -192,9 +192,12 @@ def amp_fused_sharded(
             s = transform(z_new, sidx) + beta
             beta_new, _ = denoise(s, tau2, sq_slab)
             if pin is not None:
-                beta_new = jnp.where(
-                    jnp.sum(pin, axis=2, keepdims=True) > 0.0,
-                    pin, beta_new)
+                # pin: (Bd, l) int32 local pin targets (-1 = unpinned);
+                # synthesize sq*one_hot rows locally (sections are never
+                # split across shards, so the override is shard-local)
+                pv = jnp.where(pin[:, :, None] == jnp.arange(M)[None, None],
+                               sq_slab[None, :, None], 0.0)
+                beta_new = jnp.where((pin >= 0)[:, :, None], pv, beta_new)
             if tol == 0.0:
                 return (beta_new, z_new, tau2, done, iters + 1), tau2
             # amp_tol freeze mask (models/amp.py scan semantics): `done`
@@ -230,8 +233,8 @@ def amp_fused_sharded(
         in_specs.append(P())
         args.append(tau2_schedule)
     if has_pin:
-        in_specs.append(P(data_axis, section_axis, None))
-        args.append(pin_val)
+        in_specs.append(P(data_axis, section_axis))
+        args.append(pin_idx)
     beta3, trace, iters = jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs),
         out_specs=(P(data_axis, section_axis, None),
