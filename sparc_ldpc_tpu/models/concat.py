@@ -158,15 +158,38 @@ class ConcatModel:
         difference); llr_b = lse_{j: bit_b(j)=0} a - lse_{j: bit_b(j)=1} a.
         Returns (B, Lp*logM).
 
+        Exp-once form (round 5): the straightforward masked double
+        logsumexp exponentiates two where-filled (B, Lp, logM, M) tensors
+        — 2*logM*M transcendentals per section, and the measured s2a cost
+        was ~7-8% of the shipped concat block (docs/PERF.md round-5 stage
+        budget).  But every bit-set sum is a sum over e = exp(a - amax)
+        computed ONCE: bit k (LSB) partitions the index axis into
+        even/odd pairs, and folding pairs level by level yields all logM
+        (s0, s1) masked-sum pairs in ~3M adds total — no masked fills,
+        M exps instead of 2*logM*M.  Both sums are direct (never
+        total - s1), so there is no cancellation; values differ from the
+        lse form only by f32 reassociation (verified ~1e-6 abs against
+        both the lse form and a float64 ground truth; the parity
+        artifacts were regenerated on this path).  Bit b of the
+        MSB-first convention (utils/bits.py) is LSB level logM-1-b.
         """
         B = scores.shape[0]
-        a = scores[:, self.Lu:, :]
-        a = a[:, :, None, :]                                  # (B,Lp,1,M)
-        mask1 = self.bit_masks[None, None]                    # (1,1,logM,M)
-        neg = jnp.finfo(a.dtype).min
-        lse0 = jax.nn.logsumexp(jnp.where(mask1, neg, a), axis=-1)
-        lse1 = jax.nn.logsumexp(jnp.where(mask1, a, neg), axis=-1)
-        return (lse0 - lse1).reshape(B, self.Lp * self.cfg.sparc.logM)
+        logM = self.cfg.sparc.logM
+        a = scores[:, self.Lu:, :]                            # (B, Lp, M)
+        amax = jnp.max(a, axis=-1, keepdims=True)
+        e = jnp.exp(a - amax)
+        s0 = [None] * logM
+        s1 = [None] * logM
+        cur = e
+        for k in range(logM):                                 # fold LSB up
+            cur = cur.reshape(B, self.Lp, -1, 2)
+            p0, p1 = cur[..., 0], cur[..., 1]
+            s0[logM - 1 - k] = jnp.sum(p0, axis=-1)
+            s1[logM - 1 - k] = jnp.sum(p1, axis=-1)
+            cur = p0 + p1
+        llr = (jnp.log(jnp.stack(s0, axis=-1))
+               - jnp.log(jnp.stack(s1, axis=-1)))             # (B, Lp, logM)
+        return llr.reshape(B, self.Lp * logM)
 
     def _bp_from_scores(self, scores: jax.Array):
         """(2)-(4): scores -> hardened codeword bits + per-cw ok flags."""
