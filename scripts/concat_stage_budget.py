@@ -15,7 +15,7 @@ counters — parallel/campaign.py round 5).
 Stages:
   s1   gen + (in-kernel encode+noise) + inner AMP  (fused split kernel)
   s2   LLR extract + QC-layered BP + ok-gating     (one jit, as shipped)
-  s2a  LLR extract alone (masked logsumexp over (B, Lp, M) scores)
+  s2a  LLR extract alone (pair-fold sums over the (B, Lp, M) beta slab)
   s2b  QC-layered BP alone (on s2a's LLRs)
   s3   pinned feedback AMP + counter reduction
 
@@ -88,8 +88,8 @@ def main():
     for B in (128, 512):
         m = ConcatModel.build(PRESETS[preset], ebno_db=ebno)
         s1 = jax.jit(m._stage_gen_amp)
-        s2 = jax.jit(m._bp_from_scores)
-        s2a = jax.jit(m._protected_llrs)
+        s2 = jax.jit(m._bp_from_beta)
+        s2a = jax.jit(m._protected_llrs_from_beta)
         s2b = jax.jit(lambda llr: m.ldpc.decode(llr).hard)
         s3 = jax.jit(m._stage_finish)
         kbs = [rngu.trial_keys(

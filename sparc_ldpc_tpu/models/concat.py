@@ -7,9 +7,10 @@ sections (num_cw * n ≡ 0 mod logM) — sections stay shard-aligned with the
 LDPC partition (SURVEY.md §3.3 boundary note).
 
 Decode chain:
-  1. full AMP -> final log-posterior scores (AmpResult.scores);
-  2. bitwise LLRs over protected sections by masked logsumexp over the
-     scores;
+  1. full AMP -> final beta (= sq_npl * section posteriors);
+  2. bitwise LLRs over protected sections by pair-fold sums over beta
+     (the per-section scale cancels; the (B, L, M) log-scores tensor of
+     the round-1..4 chain never needs to exist — _protected_llrs_from_beta);
   3. flooding BP (ops.bp);
   4. harden -> protected section indices;
   5. decision feedback: re-run AMP with protected sections *pinned* to
@@ -169,32 +170,70 @@ class ConcatModel:
         M exps instead of 2*logM*M.  Both sums are direct (never
         total - s1), so there is no cancellation; values differ from the
         lse form only by f32 reassociation (verified ~1e-6 abs against
-        both the lse form and a float64 ground truth; the parity
-        artifacts were regenerated on this path).  Bit b of the
+        both the lse form and a float64 ground truth).  Bit b of the
         MSB-first convention (utils/bits.py) is LSB level logM-1-b.
+        The shipped trial paths go one step further and fold the AMP
+        beta directly (_protected_llrs_from_beta — the parity artifacts
+        are anchored on that route); this scores form remains for the
+        public decode-from-scores surface and comparison tooling.
         """
-        B = scores.shape[0]
-        logM = self.cfg.sparc.logM
         a = scores[:, self.Lu:, :]                            # (B, Lp, M)
         amax = jnp.max(a, axis=-1, keepdims=True)
-        e = jnp.exp(a - amax)
+        return self._llr_fold(jnp.exp(a - amax))
+
+    def _llr_fold(self, w: jax.Array) -> jax.Array:
+        """(B, Lp, M) nonnegative section weights -> (B, Lp*logM) LLRs.
+
+        llr_b = log sum_{bit_b(j)=0} w_j - log sum_{bit_b(j)=1} w_j —
+        any per-section scale (softmax normalizer, the sq_npl amplitude
+        in beta) cancels in the difference, so the fold accepts
+        exp-shifted posteriors AND raw beta rows alike.  Sums are
+        floored at f32 tiny before the log: inert for the exp form
+        (every term >= exp(log tiny) is normal), and for the beta form
+        it reproduces the XLA score path's effective ~87-nat clip when
+        a whole bit-set's mass flushed to zero in the kernel (TPUs
+        flush f32 subnormals) — far beyond the BP llr_clip either way.
+        """
+        B = w.shape[0]
+        logM = self.cfg.sparc.logM
         s0 = [None] * logM
         s1 = [None] * logM
-        cur = e
+        cur = w
         for k in range(logM):                                 # fold LSB up
             cur = cur.reshape(B, self.Lp, -1, 2)
             p0, p1 = cur[..., 0], cur[..., 1]
             s0[logM - 1 - k] = jnp.sum(p0, axis=-1)
             s1[logM - 1 - k] = jnp.sum(p1, axis=-1)
             cur = p0 + p1
-        llr = (jnp.log(jnp.stack(s0, axis=-1))
-               - jnp.log(jnp.stack(s1, axis=-1)))             # (B, Lp, logM)
+        tiny = jnp.finfo(jnp.float32).tiny
+        llr = (jnp.log(jnp.maximum(jnp.stack(s0, axis=-1), tiny))
+               - jnp.log(jnp.maximum(jnp.stack(s1, axis=-1), tiny)))
         return llr.reshape(B, self.Lp * logM)
+
+    def _protected_llrs_from_beta(self, beta: jax.Array) -> jax.Array:
+        """(B, L, M) final AMP beta -> (B, Lp*logM) LLRs, directly.
+
+        beta_l = sq_npl[l] * posterior_l and the scale cancels in the
+        fold, so the whole scores tensor (a (B, L, M) log over the
+        posterior floor) never needs to exist: the shipped trial paths
+        hand the kernel's beta straight to the fold.  Measured (stage
+        budget r5f): drops the s1-side log/div+scores materialization
+        AND the s2-side exp — the extraction is pure streaming adds.
+        """
+        return self._llr_fold(beta[:, self.Lu:, :])
 
     def _bp_from_scores(self, scores: jax.Array):
         """(2)-(4): scores -> hardened codeword bits + per-cw ok flags."""
-        B = scores.shape[0]
-        llr = self._protected_llrs(scores)
+        return self._bp_from_llr(self._protected_llrs(scores))
+
+    def _bp_from_beta(self, beta: jax.Array):
+        """(2)-(4) from the AMP beta directly (the shipped trial paths):
+        skips the (B, L, M) scores tensor entirely — see
+        _protected_llrs_from_beta."""
+        return self._bp_from_llr(self._protected_llrs_from_beta(beta))
+
+    def _bp_from_llr(self, llr: jax.Array):
+        B = llr.shape[0]
         llr = llr.reshape(B * self.num_cw, self.ldpc.n)
         bp = self.ldpc.decode(llr)
         # BP that fails the syndrome check can be *worse* than the channel
@@ -245,7 +284,7 @@ class ConcatModel:
     def decode(self, y: jax.Array) -> Dict[str, jax.Array]:
         """Full concatenated decode; returns user bits + diagnostics."""
         res = self.sparc.decode(y)
-        cw_hat, ok, bp_iters = self._bp_from_scores(res.scores)
+        cw_hat, ok, bp_iters = self._bp_from_beta(res.beta)
         user_hat = self._feedback_user_bits(y, cw_hat, ok)
         return dict(user_bits=user_hat, bp_ok=ok,
                     amp_iters=res.iters, bp_iters=bp_iters,
@@ -308,7 +347,7 @@ class ConcatModel:
                                             dtype=jnp.float32))(nkeys)
             y = self.encode(bits, sq_npl) + noise * sigma
             res = self.sparc.decode(y, sq_npl=sq_npl)
-        return bits, y, res.scores, res.iters, idx
+        return bits, y, res.beta, res.iters, idx
 
     def _stage_finish(self, y, cw_hat, ok, bits, amp_iters, enc_idx):
         return self._stage_finish_params(
@@ -346,9 +385,9 @@ class ConcatModel:
 
     def run_block_staged(self, tkeys: jax.Array) -> Dict[str, jax.Array]:
         """Three bounded jits instead of one monolith (see note above)."""
-        bits, y, scores, iters, idx = self._jit(
+        bits, y, beta, iters, idx = self._jit(
             "s1", self._stage_gen_amp)(tkeys)
-        cw_hat, ok, _ = self._jit("s2", self._bp_from_scores)(scores)
+        cw_hat, ok, _ = self._jit("s2", self._bp_from_beta)(beta)
         return self._jit("s3", self._stage_finish)(y, cw_hat, ok, bits,
                                                    iters, idx)
     run_block_staged._prejitted = True   # campaign must not wrap in jit
@@ -366,7 +405,7 @@ class ConcatModel:
             seeds = jax.vmap(jax.random.key_data)(nkeys).reshape(batch, 2)
             nkw = dict(noise_seed=seeds, noise_sigma=jnp.float32(sigma))
             res = self.sparc.decode(None, encode_idx=idx, **nkw)
-            cw_hat, ok, bp_iters = self._bp_from_scores(res.scores)
+            cw_hat, ok, bp_iters = self._bp_from_beta(res.beta)
             user_hat = self._feedback_user_bits(None, cw_hat, ok,
                                                 enc_idx=idx, noise_kw=nkw)
             out = dict(user_bits=user_hat, bp_ok=ok,
@@ -379,7 +418,7 @@ class ConcatModel:
                                             dtype=jnp.float32))(nkeys)
             y = noise * sigma
             res = self.sparc.decode(y, encode_idx=idx)
-            cw_hat, ok, bp_iters = self._bp_from_scores(res.scores)
+            cw_hat, ok, bp_iters = self._bp_from_beta(res.beta)
             user_hat = self._feedback_user_bits(y, cw_hat, ok,
                                                 enc_idx=idx)
             out = dict(user_bits=user_hat, bp_ok=ok,
@@ -456,9 +495,9 @@ class ConcatSweep:
             # construction (seeds derive from the config, not ebno)
             t_eff = m.sparc.cfg.amp_iters
             s1 = sw._jit(("s1", t_eff), m._stage_gen_amp_params)
-            bits, y, scores, iters, idx = s1(tkeys, sq, sigma)
-            s2 = sw._jit("s2", m._bp_from_scores)
-            cw_hat, ok, _ = s2(scores)
+            bits, y, beta, iters, idx = s1(tkeys, sq, sigma)
+            s2 = sw._jit("s2", m._bp_from_beta)
+            cw_hat, ok, _ = s2(beta)
             s3 = sw._jit("s3", m._stage_finish_params)
             return s3(y, cw_hat, ok, bits, iters, idx, sq, sigma)
         run_block_staged._prejitted = True   # campaign must not re-jit

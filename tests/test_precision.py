@@ -454,3 +454,38 @@ def test_fused_split_early_stop_with_pinning_interpret():
     np.testing.assert_allclose(np.asarray(r_fus.tau2_trace)[:t_min],
                                np.asarray(r_xla.tau2_trace)[:t_min],
                                rtol=2e-2)
+
+
+def test_llr_beta_fold_matches_scores_path():
+    """The shipped LLR extraction folds the AMP beta directly
+    (models/concat._protected_llrs_from_beta); the scores-lse form and a
+    float64 ground truth must agree with it to f32-reassociation level,
+    and the BP decisions downstream must be identical on a realistic
+    block (round-5 exp-once/beta-fold rewrite)."""
+    from sparc_ldpc_tpu.config import PRESETS
+    from sparc_ldpc_tpu.models.concat import ConcatModel
+    from sparc_ldpc_tpu.utils import rng as rngu
+
+    m = ConcatModel.build(PRESETS["concat"], ebno_db=3.0)
+    tkeys = rngu.trial_keys(rngu.base_key(3), 4)
+    _, _, beta, _, _ = m._stage_gen_amp(tkeys)
+    post = beta / m.sparc.sq_npl[None, :, None]
+    scores = jnp.log(jnp.maximum(post, jnp.finfo(jnp.float32).tiny))
+    llr_b = np.asarray(m._protected_llrs_from_beta(beta))
+    llr_s = np.asarray(m._protected_llrs(scores))
+    # f32 reassociation level only (the sq_npl scale cancels in the fold)
+    np.testing.assert_allclose(llr_b, llr_s, atol=2e-4, rtol=1e-3)
+    # float64 ground truth per bit (MSB-first convention, utils/bits.py)
+    a64 = np.asarray(beta[:, m.Lu:, :], np.float64)
+    M, logM = m.cfg.sparc.M, m.cfg.sparc.logM
+    bit = ((np.arange(M)[None, :] >> (logM - 1
+            - np.arange(logM)[:, None])) & 1).astype(bool)   # (logM, M)
+    s0 = np.einsum("blm,km->blk", a64, (~bit).astype(np.float64))
+    s1 = np.einsum("blm,km->blk", a64, bit.astype(np.float64))
+    gt = (np.log(s0) - np.log(s1)).reshape(llr_b.shape)
+    np.testing.assert_allclose(llr_b, gt, atol=2e-4, rtol=1e-3)
+    # decisions through BP: bitwise identical on this block
+    cw_b, ok_b, _ = m._bp_from_llr(jnp.asarray(llr_b))
+    cw_s, ok_s, _ = m._bp_from_llr(jnp.asarray(llr_s))
+    np.testing.assert_array_equal(np.asarray(cw_b), np.asarray(cw_s))
+    np.testing.assert_array_equal(np.asarray(ok_b), np.asarray(ok_s))
