@@ -27,7 +27,8 @@ TPU-first structure:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,12 +37,32 @@ from ..ops.denoiser import denoise, denoise_pallas
 from ..ops.operators import BatchedOperator
 
 
-class AmpResult(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AmpResult:
+    """Final AMP state.  `posteriors`/`scores` are DERIVED lazily from
+    beta (round 5): every shipped consumer reads beta directly (the
+    concat chain folds it straight into LLRs —
+    models/concat._protected_llrs_from_beta), so materializing two more
+    (B, L, M) tensors eagerly would cost ~0.5 GB of HBM traffic per
+    un-jitted decode() at the shipped shapes for nothing.  Inside jit
+    the properties trace as ordinary ops and DCE applies as usual."""
     beta: jax.Array         # (B, L, M) final posterior-mean estimate
-    posteriors: jax.Array   # (B, L, M) final section posteriors
-    scores: jax.Array       # (B, L, M) log-posteriors (LLR-extraction input)
     tau2_trace: jax.Array   # (T, B)
     iters: jax.Array        # (B,) iterations actually used
+    sq_npl: jax.Array       # (L,) sqrt(n P_l) (beta's per-section scale)
+
+    @property
+    def posteriors(self) -> jax.Array:
+        """(B, L, M) final section posteriors (= beta / sqrt(n P_l))."""
+        return self.beta / self.sq_npl[None, :, None]
+
+    @property
+    def scores(self) -> jax.Array:
+        """(B, L, M) log-posteriors; the smallest-normal floor bounds the
+        effective clip at ~87 nats >> the BP llr_clip, so it is inert."""
+        p = self.posteriors
+        return jnp.log(jnp.maximum(p, jnp.finfo(p.dtype).tiny))
 
 
 def amp_decode(
@@ -148,10 +169,8 @@ def amp_decode(
                 interpret=fused_interpret, fused_split=fused_split,
                 tol=k_tol, encode_idx=encode_idx,
                 noise_seed=noise_seed, noise_sigma=noise_sigma)
-        post = beta3 / sq_npl[None, :, None]
-        scores = jnp.log(jnp.maximum(post, jnp.finfo(post.dtype).tiny))
-        return AmpResult(beta=beta3, posteriors=post, scores=scores,
-                         tau2_trace=trace, iters=iters)
+        return AmpResult(beta=beta3, tau2_trace=trace, iters=iters,
+                         sq_npl=sq_npl)
     assert encode_idx is None and noise_seed is None, (
         "encode_idx/noise_seed require the fused kernel path (op.mask "
         "present, L <= 4096); XLA-path callers encode outside amp_decode")
@@ -223,12 +242,8 @@ def amp_decode(
         step, (beta0, z0, tau20, done0, it0), jnp.arange(T))
 
     beta3 = beta.reshape(B, L, M)
-    post = beta3 / sq_npl[None, :, None]
-    # log-posteriors for LLR extraction; the smallest normal f32 bounds the
-    # effective clip at ~87 nats >> the BP llr_clip, so the floor is inert.
-    scores = jnp.log(jnp.maximum(post, jnp.finfo(y.dtype).tiny))
-    return AmpResult(beta=beta3, posteriors=post, scores=scores,
-                     tau2_trace=trace, iters=iters)
+    return AmpResult(beta=beta3, tau2_trace=trace, iters=iters,
+                     sq_npl=sq_npl)
 
 
 def hard_indices(scores_or_beta: jax.Array) -> jax.Array:

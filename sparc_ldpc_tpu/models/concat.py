@@ -26,7 +26,6 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import ConcatConfig
 from ..utils import rng as rngu
@@ -60,7 +59,6 @@ class ConcatModel:
     Lu: int                  # unprotected sections
     Lp: int                  # protected sections
     num_cw: int              # LDPC codewords per SPARC frame
-    bit_masks: jax.Array     # (logM, M) bool: bit b of index j is 1
     # lazy per-stage jit cache (mutable holder inside a frozen dataclass)
     _jits: dict = field(default_factory=dict)
 
@@ -72,12 +70,8 @@ class ConcatModel:
         ldpc = LdpcModel.build(cfg.ldpc)
         Lu, Lp, num_cw = _derive_partition(
             cfg.sparc.L, cfg.sparc.logM, ldpc.n, cfg.f_prot)
-        M, logM = cfg.sparc.M, cfg.sparc.logM
-        j = np.arange(M)
-        masks = np.stack([(j >> (logM - 1 - b)) & 1 for b in range(logM)])
         return ConcatModel(cfg=cfg, sparc=sparc, ldpc=ldpc, Lu=Lu, Lp=Lp,
-                           num_cw=num_cw,
-                           bit_masks=jnp.asarray(masks.astype(bool)))
+                           num_cw=num_cw)
 
     @property
     def k_user(self) -> int:
